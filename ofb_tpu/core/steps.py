@@ -1,0 +1,314 @@
+"""Jitted train / search / eval steps.
+
+One `search_step` covers everything the reference's inner loop does per
+accumulation window (reference engine.py:95-198): PMIM anneal inputs, the
+gated forward, the four loss families, gradient accumulation across
+microbatches, the three-family optimizer update, per-iteration schedules and
+EMA — all inside a single XLA program. Data parallelism comes from sharding
+the batch over the mesh 'data' axis; XLA inserts the gradient all-reduce
+(replacing DDP, reference search.py:619).
+
+Static phases (each a separate jit specialization, re-traced at most once
+per run):
+  'search'      — MIM on, CE w/ label smoothing, arch losses on
+                  (reference engine.py:118-144 pre-finish behavior)
+  'postsearch'  — MIM off, decoder frozen, mixup+soft-target CE
+                  (reference search.py:641-657 transition)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import SearchConfig
+from ..models.mim_vit import mim_forward
+from ..models.search_space import ArchState, SearchSpace
+from ..models.vit import ModelCfg, vit_forward
+from ..ops.mixup import mixup_cutmix, one_hot_smooth
+from . import losses as L
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray                 # micro-iteration counter (int32)
+    params: Any
+    alphas: Any
+    arch: ArchState
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def _tree_scale(tree, flag):
+    return jax.tree_util.tree_map(lambda u: u * flag, tree)
+
+
+def _freeze_finished_alpha_updates(alpha_updates, arch: ArchState):
+    """Zero alpha updates of converged modules — the reference sets
+    requires_grad=False on them (models/layers.py:221,563,887), which also
+    stops AdamW weight decay from drifting a frozen alpha."""
+    live = lambda f: 1.0 - f.astype(jnp.float32)
+    out = dict(alpha_updates)
+    out["patch"] = alpha_updates["patch"] * live(arch.patch.finished)
+    out["embed"] = alpha_updates["embed"] * live(arch.embed.finished)
+    blocks = []
+    for i, b in enumerate(arch.blocks):
+        blocks.append({
+            "attn": alpha_updates["blocks"][i]["attn"] * live(b.attn.finished),
+            "mlp": alpha_updates["blocks"][i]["mlp"] * live(b.mlp.finished),
+        })
+    out["blocks"] = blocks
+    return out
+
+
+def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
+                     tx: optax.GradientTransformation, *, phase: str,
+                     param_mask=None, alpha_mask=None,
+                     teacher_apply: Optional[Callable] = None,
+                     compute_dtype=jnp.bfloat16, donate: bool = True):
+    """Build the jitted search-phase train step.
+
+    Returns step(state, images (A,mb,H,W,C), labels (A,mb), rng, keep_ratio)
+    -> (state, metrics). A = accum_iter microbatches per optimizer update
+    (reference run_exp.sh:11-13 eff. batch = batch x ranks x accum).
+    """
+    assert phase in ("search", "postsearch")
+    use_mim = phase == "search"
+    dcfg = scfg.distillation
+
+    def loss_fn(params, alphas, arch, images, labels, rng, keep_ratio):
+        rng_m, rng_fwd, rng_mix = jax.random.split(rng, 3)
+        soft = False
+        if phase == "postsearch":
+            # finish_search transition enables Mixup(0.8)/CutMix(1.0) and
+            # SoftTargetCE (reference search.py:650-655)
+            images, labels = mixup_cutmix(
+                rng_mix, images, labels, num_classes=mcfg.num_classes,
+                mixup_alpha=0.8, cutmix_alpha=1.0,
+                prob=scfg.mixup.prob, switch_prob=scfg.mixup.switch_prob,
+                label_smoothing=scfg.mixup.label_smoothing)
+            soft = True
+        out = mim_forward(params, alphas, arch, images, mcfg, space,
+                          train=True, use_mim=use_mim,
+                          keep_ratio=keep_ratio, rng=rng_fwd,
+                          compute_dtype=compute_dtype)
+        if out.logits_dist is not None:
+            base = L.distilled_pair_loss(
+                out.logits, out.logits_dist, labels, soft_labels=soft,
+                smoothing=scfg.mixup.label_smoothing)
+            kd_logits = out.logits_dist
+        else:
+            base = L.base_criterion(out.logits, labels, soft_labels=soft,
+                                    smoothing=scfg.mixup.label_smoothing)
+            kd_logits = out.logits
+        if teacher_apply is not None and dcfg.distillation_type != "none":
+            t_logits = teacher_apply(images)
+            base = L.distillation_loss(
+                base, kd_logits, t_logits, kind=dcfg.distillation_type,
+                alpha=dcfg.alpha, tau=dcfg.tau)
+
+        metrics = {"loss_param": base}
+        total = base
+        if phase == "search":
+            arch_loss, aux = L.ofb_arch_loss(
+                params, alphas, arch, space, mcfg,
+                target_flops=scfg.target_flops, w_head=scfg.w_head,
+                w_mlp=scfg.w_mlp, w_patch=scfg.w_patch,
+                w_embedding=scfg.w_embedding, w_flops=scfg.w_flops,
+                entropy=scfg.entropy, var=scfg.var, norm=scfg.norm)
+            total = total + arch_loss
+            # dynamic decoder weight w = base/decoder (reference
+            # engine.py:140-142), gradient flows into decoder_loss only
+            dec = out.decoder_loss
+            w_dec = jax.lax.stop_gradient(
+                jnp.where(dec > 0, base / jnp.maximum(dec, 1e-12), 0.0))
+            total = total + w_dec * dec
+            metrics.update(loss_arch=arch_loss, loss_decoder=dec,
+                           searched_gflops=aux["searched_gflops"])
+        metrics["loss_total"] = total
+        return total, metrics
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def step(state: TrainState, images, labels, rng, keep_ratio):
+        A = images.shape[0]
+
+        def micro(carry, xs):
+            g_acc, m_acc = carry
+            img, lbl, r = xs
+            g, m = grad_fn(state.params, state.alphas, state.arch, img, lbl,
+                           r, keep_ratio)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            m_acc = jax.tree_util.tree_map(jnp.add, m_acc, m)
+            return (g_acc, m_acc), None
+
+        rngs = jax.random.split(rng, A)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32),
+            (state.params, state.alphas))
+        zero_m = {k: jnp.asarray(0.0, jnp.float32) for k in (
+            ["loss_param", "loss_total"] + (
+                ["loss_arch", "loss_decoder", "searched_gflops"]
+                if phase == "search" else []))}
+        (grads, metrics), _ = jax.lax.scan(
+            micro, (zero_g, zero_m), (images, labels, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        metrics = {k: v / A for k, v in metrics.items()}
+
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     (state.params, state.alphas))
+        pu, au = updates
+        if param_mask is not None:
+            pu = jax.tree_util.tree_map(jnp.multiply, pu, param_mask)
+        if alpha_mask is not None:
+            au = jax.tree_util.tree_map(jnp.multiply, au, alpha_mask)
+        au = _freeze_finished_alpha_updates(au, state.arch)
+        if phase == "postsearch":
+            # decoder + mask_token frozen after finish_search
+            # (reference search.py:645 freeze_decoder)
+            pu = _zero_decoder_updates(pu)
+        new_params = optax.apply_updates(state.params, pu)
+        new_alphas = optax.apply_updates(state.alphas, au)
+
+        ema = state.ema_params
+        if ema is not None:
+            d = scfg.model_ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p, ema, new_params)
+
+        new_state = state.replace(step=state.step + A, params=new_params,
+                                  alphas=new_alphas, opt_state=new_opt,
+                                  ema_params=ema)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _zero_decoder_updates(param_updates):
+    out = dict(param_updates)
+    if "decoder" in out:
+        out["decoder"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                out["decoder"])
+    if "mask_token" in out:
+        out["mask_token"] = jnp.zeros_like(out["mask_token"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Finetune / plain train step (reference engine.py:18-72)
+# ---------------------------------------------------------------------------
+
+def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
+                    num_classes: int, mixup_cfg=None, smoothing: float = 0.1,
+                    ema_decay: Optional[float] = None,
+                    teacher_apply: Optional[Callable] = None,
+                    distill=None, compute_dtype=jnp.bfloat16):
+    """Plain supervised train step for the finetune stage."""
+
+    def loss_fn(params, images, labels, rng):
+        rng_fwd, rng_mix = jax.random.split(rng)
+        soft = False
+        if mixup_cfg is not None and (mixup_cfg.mixup > 0 or
+                                      mixup_cfg.cutmix > 0):
+            images, labels = mixup_cutmix(
+                rng_mix, images, labels, num_classes=num_classes,
+                mixup_alpha=mixup_cfg.mixup, cutmix_alpha=mixup_cfg.cutmix,
+                prob=mixup_cfg.prob, switch_prob=mixup_cfg.switch_prob,
+                label_smoothing=mixup_cfg.label_smoothing)
+            soft = True
+        out = vit_forward(params, images, mcfg, train=True, rng=rng_fwd,
+                          compute_dtype=compute_dtype)
+        if isinstance(out, tuple):
+            logits, logits_dist = out
+            base = L.base_criterion(logits, labels, soft_labels=soft,
+                                    smoothing=smoothing)
+            kd_logits = logits_dist
+        else:
+            logits = out
+            base = L.base_criterion(logits, labels, soft_labels=soft,
+                                    smoothing=smoothing)
+            kd_logits = logits
+        if teacher_apply is not None and distill is not None and \
+                distill.distillation_type != "none":
+            base = L.distillation_loss(
+                base, kd_logits, teacher_apply(images),
+                kind=distill.distillation_type, alpha=distill.alpha,
+                tau=distill.tau)
+        return base, {"loss": base}
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, images, labels, rng):
+        A = images.shape[0]
+
+        def micro(carry, xs):
+            g_acc, l_acc = carry
+            img, lbl, r = xs
+            g, m = grad_fn(state.params, img, lbl, r)
+            return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                    l_acc + m["loss"]), None
+
+        rngs = jax.random.split(rng, A)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro, (zero_g, jnp.asarray(0.0)), (images, labels, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+                ema, new_params)
+        new_state = state.replace(step=state.step + A, params=new_params,
+                                  opt_state=new_opt, ema_params=ema)
+        return new_state, {"loss": loss_sum / A}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Eval steps
+# ---------------------------------------------------------------------------
+
+def make_eval_step(space: SearchSpace, mcfg: ModelCfg, *,
+                   compute_dtype=jnp.bfloat16):
+    """Search-model eval (reference engine.py:222-257: model returns
+    (output, _); CE + top-1/top-5)."""
+
+    @jax.jit
+    def step(params, alphas, arch, images, labels):
+        out = mim_forward(params, alphas, arch, images, mcfg, space,
+                          train=False, use_mim=False,
+                          compute_dtype=compute_dtype)
+        return _cls_metrics(out.logits, labels)
+
+    return step
+
+
+def make_eval_step_dense(mcfg: ModelCfg, *, compute_dtype=jnp.bfloat16):
+    @jax.jit
+    def step(params, images, labels):
+        logits = vit_forward(params, images, mcfg, train=False,
+                             compute_dtype=compute_dtype)
+        return _cls_metrics(logits, labels)
+
+    return step
+
+
+def _cls_metrics(logits, labels):
+    loss = L.cross_entropy(logits, labels)
+    top1 = jnp.sum((jnp.argmax(logits, -1) == labels))
+    top5 = jnp.sum(jnp.any(
+        jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1))
+    return {"loss_sum": loss * labels.shape[0],
+            "top1": top1.astype(jnp.float32),
+            "top5": top5.astype(jnp.float32),
+            "count": jnp.asarray(labels.shape[0], jnp.float32)}

@@ -1,0 +1,103 @@
+"""Progressive Masked Image Modeling (PMIM) ops.
+
+TPU-native equivalents of the reference's SimMIM-style machinery:
+  * `norm_targets` — local-window pixel standardization
+    (reference models/vision_transformer.py:121-141)
+  * `random_token_mask` — static-shape per-sample random masking with a
+    *traced* keep count (reference models/vision_transformer.py:586-612 uses
+    a Python int(L*r), which would force a recompile per annealed ratio;
+    here the annealed ratio is a scalar operand compared against ranks)
+  * `pixel_shuffle` — torch PixelShuffle semantics in NHWC
+    (reference decoder, models/vision_transformer.py:491-496)
+  * `patchify` — (reference models/vision_transformer.py:572-584)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sum over k x k windows, stride 1, SAME padding. NHWC."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME")
+
+
+def norm_targets(targets: jnp.ndarray, patch_size: int = 47) -> jnp.ndarray:
+    """Standardize each pixel by its local k x k window statistics.
+
+    Matches reference models/vision_transformer.py:121-141 exactly:
+    mean/sq-mean with count_include_pad=False, Bessel correction using the
+    count_include_pad=True window count, var clamped at 0, eps 1e-6.
+    targets: (B, H, W, C) fp32.
+    """
+    assert patch_size % 2 == 1
+    x = targets.astype(jnp.float32)
+    ones = jnp.ones_like(x[..., :1])
+    # in-bounds element count per window position
+    cnt = _window_sum(ones, patch_size)
+    mean = _window_sum(x, patch_size) / cnt
+    sq_mean = _window_sum(jnp.square(x), patch_size) / cnt
+    var = (sq_mean - jnp.square(mean)) * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+    var = jnp.maximum(var, 0.0)
+    return (x - mean) / jnp.sqrt(var + 1e-6)
+
+
+def random_token_mask(rng, batch: int, num_tokens: int,
+                      keep_count: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample random token removal mask; 1 = removed, 0 = kept.
+
+    Static shape (B, L); `keep_count` may be a traced scalar. Matches the
+    argsort-noise construction of the reference
+    (models/vision_transformer.py:596-608): the keep set is the keep_count
+    tokens with the smallest noise.
+    """
+    noise = jax.random.uniform(rng, (batch, num_tokens))
+    order = jnp.argsort(noise, axis=1)
+    ranks = jnp.argsort(order, axis=1)
+    return (ranks >= keep_count).astype(jnp.float32)
+
+
+def pixel_shuffle_nhwc(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """torch.nn.PixelShuffle in NHWC: (B,h,w,C*r*r) -> (B,h*r,w*r,C) with
+    channel layout c*r*r + i*r + j (torch convention)."""
+    B, h, w, crr = x.shape
+    C = crr // (r * r)
+    x = x.reshape(B, h, w, C, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)       # B, h, i, w, j, C
+    return x.reshape(B, h * r, w * r, C)
+
+
+def patchify(imgs: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, L, p*p*C) in the reference's token layout
+    (models/vision_transformer.py:572-584: per-patch pixels (p,q) then
+    channels last)."""
+    B, H, W, C = imgs.shape
+    h, w = H // p, W // p
+    x = imgs.reshape(B, h, p, w, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)        # B h w p q c
+    return x.reshape(B, h * w, p * p * C)
+
+
+def mim_reconstruction_loss(imgs: jnp.ndarray, x_rec: jnp.ndarray,
+                            token_mask: jnp.ndarray, patch_size: int,
+                            in_chans: int = 3) -> jnp.ndarray:
+    """Masked L1 against locally-normalized targets
+    (reference models/vision_transformer.py:719-730).
+
+    imgs, x_rec: (B, H, W, C); token_mask: (B, L) with 1 = masked (removed).
+    """
+    B, H, W, C = imgs.shape
+    g = H // patch_size
+    pix_mask = token_mask.reshape(B, g, g)
+    pix_mask = jnp.repeat(jnp.repeat(pix_mask, patch_size, axis=1),
+                          patch_size, axis=2)[..., None]     # (B,H,W,1)
+    targets = norm_targets(imgs, 47)
+    l1 = jnp.abs(targets - x_rec.astype(jnp.float32))
+    return jnp.sum(l1 * pix_mask) / (jnp.sum(pix_mask) + 1e-5) / in_chans

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device CPU platform so sharding/collective
+paths are exercised without TPU hardware (SURVEY §4: multi-host behavior is
+testable via xla_force_host_platform_device_count).
+
+Note: this environment's sitecustomize registers a remote TPU backend and
+forces jax_platforms='axon,cpu' at interpreter boot, so the env var alone is
+not enough — we re-update the jax config before any backend is touched.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
