@@ -1,0 +1,116 @@
+"""Benchmark: DeiT-S OFB search-step throughput on one TPU chip.
+
+Measures the full search-mode training step (gated supernet forward incl.
+PMIM decoder + all four loss families + backward + three-family AdamW) —
+the hot loop of reference engine.py:75-219 — in images/sec/chip.
+
+Baseline (vs_baseline): the reference publishes no throughput (SURVEY §6);
+BASELINE.json's north star is ">=3x the 2-GPU reference throughput on a
+v4-8 slice". We estimate the reference search throughput at 250 img/s per
+A100-class GPU (DeiT-S fwd+bwd ~4.6 GFLOPs x 3, plus supernet gate/decoder
+overhead, batch 128, fp16) -> 2-GPU total 500 img/s -> 3x target on 8 chips
+= 1500 img/s -> per-chip target 187.5 img/s. vs_baseline = measured / 187.5.
+
+Usage: python bench.py [--tiny] [--batch N] [--steps N]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+PER_CHIP_TARGET_IMG_S = 187.5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (CI / CPU smoke)")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--phase", default="search")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from ofb_tpu.config import SearchConfig
+    from ofb_tpu.core.optim import build_search_optimizer
+    from ofb_tpu.core.steps import TrainState, make_search_step
+    from ofb_tpu.models.registry import create_model
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    if args.tiny or not on_tpu:
+        from ofb_tpu.models.registry import ModelBundle
+        from ofb_tpu.models.search_space import SearchSpace
+        from ofb_tpu.models.vit import ModelCfg
+        cfg = ModelCfg(img_size=32, patch_size=8, num_classes=16,
+                       embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0)
+        space = SearchSpace.build(cfg.embed_dim, cfg.depth, cfg.num_heads,
+                                  cfg.hidden, cfg.num_patches,
+                                  patch_search=True)
+        bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)
+        batch = args.batch or 8
+        compute = jnp.float32
+    else:
+        bundle = create_model("deit_small_patch16_224_mim", patch_search=True)
+        batch = args.batch or 128
+        compute = jnp.bfloat16
+
+    key = jax.random.PRNGKey(0)
+    params, alphas, arch = bundle.init(key)
+
+    scfg = SearchConfig(accum_iter=1, target_flops=1.0).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=100000, steps_per_epoch=1000)
+    opt_state = tx.init((params, alphas))
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch, opt_state=opt_state)
+
+    step = make_search_step(bundle.space, bundle.cfg, scfg, tx,
+                            phase=args.phase, compute_dtype=compute,
+                            donate=False)
+
+    H = bundle.cfg.img_size
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, batch, H, H, 3),
+                       jnp.float32)
+    lbls = jnp.asarray(
+        np.random.RandomState(1).randint(0, bundle.cfg.num_classes,
+                                         (1, batch)))
+    keep = jnp.asarray(0.75)
+
+    # warmup / compile. NOTE: on the remote-relay TPU backend
+    # block_until_ready does not reliably wait for chained async execution;
+    # a scalar host readback (device->host copy of the value) does.
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, imgs, lbls, sub, keep)
+    float(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, imgs, lbls, sub, keep)
+    sync = float(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(sync)
+
+    img_s = batch * args.steps / dt
+    print(json.dumps({
+        "metric": "deit_s_ofb_search_step_throughput"
+        if on_tpu and not args.tiny else "tiny_ofb_search_step_throughput",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / PER_CHIP_TARGET_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Checkpoint / resume.
+
+The reference pickles whole nn.Modules because tensor shapes change
+mid-search (SURVEY §5.4; reference search.py:711-722). Our shapes are
+static, so a state_dict-style pytree checkpoint suffices: params, alphas,
+opt_state, EMA, plus the small arch-state record (switches, hard masks,
+flags, w_p) and run metadata. Artifacts mirror the reference set:
+running_ckpt / best / model_pruned / model_fused (search.py:672-683,
+711-740, 775-787).
+
+Format: msgpack via flax.serialization per component + meta.json.
+Process-0-only writes (save_on_master, reference utils.py:216-218).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..utils.logging import is_main_process
+
+
+def _tree_to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)),
+                                  tree)
+
+
+def save_checkpoint(path: str, *, params, alphas=None, arch=None,
+                    opt_state=None, ema_params=None,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    """Write a checkpoint directory. Only process 0 writes."""
+    if not is_main_process():
+        return
+    os.makedirs(path, exist_ok=True)
+    parts = {"params": params, "alphas": alphas, "arch": arch,
+             "opt_state": opt_state, "ema": ema_params}
+    written = []
+    for name, tree in parts.items():
+        if tree is None:
+            continue
+        with open(os.path.join(path, name + ".msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(_tree_to_host(tree)))
+        written.append(name)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"parts": written, **(meta or {})}, f, indent=2)
+
+
+def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
+                    opt_state=None, ema_params=None) -> Dict[str, Any]:
+    """Restore into provided templates (same-structure pytrees). Returns a
+    dict with restored parts + meta."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    out: Dict[str, Any] = {"meta": meta}
+    templates = {"params": params, "alphas": alphas, "arch": arch,
+                 "opt_state": opt_state, "ema": ema_params}
+    for name in meta["parts"]:
+        tpl = templates.get(name)
+        fpath = os.path.join(path, name + ".msgpack")
+        if tpl is None or not os.path.exists(fpath):
+            continue
+        with open(fpath, "rb") as f:
+            out[name] = serialization.from_bytes(tpl, f.read())
+    return out
+
+
+def latest_meta(path: str) -> Optional[Dict[str, Any]]:
+    p = os.path.join(path, "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

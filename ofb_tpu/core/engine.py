@@ -1,0 +1,143 @@
+"""Per-epoch loops: search / train / evaluate.
+
+Reference engine.py:18-291 translated to the functional step API. The inner
+loop only dispatches jitted steps and (at the compress cadence) runs the
+host-side state machine; metric readbacks are deferred to the print cadence
+so device execution stays pipelined (the reference instead calls .item()
+every iteration, engine.py:146).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SearchConfig
+from ..models.search_space import SearchSpace
+from ..utils.logging import master_print
+from ..utils.metrics import MetricLogger
+from .compress import CompressReport, compress, update_w_p
+from .steps import TrainState
+
+
+def _smallest_active_patch_ratio(arch, space: SearchSpace) -> float:
+    """Non-progressive PMIM keep count: the smallest active patch cell's
+    ratio (reference models/vision_transformer.py:593 uses the first active
+    entry of the grid)."""
+    switch = np.asarray(jax.device_get(arch.patch.switch))
+    ratios = [r for r, s in zip(space.patch.ratios, switch) if s]
+    return ratios[0] if ratios else 1.0
+
+
+def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
+                     *, epoch: int, steps_per_epoch: int, scfg: SearchConfig,
+                     space: SearchSpace, rng, finish_search: bool,
+                     log_every: int = 10, print_fn=master_print
+                     ) -> Tuple[TrainState, Dict[str, float], bool, bool]:
+    """One search epoch (reference engine.py:75-219).
+
+    Returns (state, stats, finish_search, execute_pruned). The compress
+    state machine fires compress_per_epoch times per epoch at accumulation
+    boundaries (reference engine.py:201-213).
+    """
+    logger = MetricLogger(print_fn=print_fn)
+    execute_pruned = False
+    A = scfg.accum_iter
+    micro_per_epoch = steps_per_epoch * A
+    compress_every = max(steps_per_epoch // scfg.compress_per_epoch, 1)
+    pending = []          # (step_idx, device metrics) for lazy readback
+
+    def flush():
+        for _, m in pending:
+            logger.update(**{k: float(v) for k, v in m.items()})
+        pending.clear()
+
+    for it, (imgs, lbls) in enumerate(feed):
+        frac_epoch = (it * A) / max(micro_per_epoch, 1) + epoch
+        if scfg.progressive:
+            keep = scfg.max_ratio - (scfg.max_ratio - scfg.min_ratio) * min(
+                frac_epoch / max(scfg.schedule.warmup_epochs, 1e-8), 1.0)
+        else:
+            keep = _smallest_active_patch_ratio(state.arch, space)
+        state = state.replace(arch=update_w_p(
+            state.arch, frac_epoch, scfg.schedule.warmup_epochs))
+
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, imgs, lbls, sub, jnp.asarray(keep))
+        pending.append((it, metrics))
+
+        if it % log_every == 0 or it == steps_per_epoch - 1:
+            flush()
+            loss_val = logger.meters["loss_total"].value
+            if not math.isfinite(loss_val):
+                print_fn(f"Loss is {loss_val}, stopping training")
+                sys.exit(1)
+            print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
+
+        if (not finish_search
+                and (it + 1) % compress_every == 0):
+            flush()
+            print_fn("Start Compression")
+            params, alphas, arch, opt_state, report = compress(
+                state.params, state.alphas, state.arch, state.opt_state,
+                space, scfg.compress_thresh)
+            state = state.replace(params=params, alphas=alphas, arch=arch,
+                                  opt_state=opt_state)
+            execute_pruned |= report.execute_prune
+            for e in report.events:
+                print_fn(f"  {e}")
+            finish_search = report.finish_search
+
+    flush()
+    return state, logger.averages(), finish_search, execute_pruned
+
+
+def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
+                    epoch: int, steps_per_epoch: int, rng,
+                    log_every: int = 10, print_fn=master_print
+                    ) -> Tuple[TrainState, Dict[str, float]]:
+    """Plain finetune epoch (reference engine.py:18-72)."""
+    logger = MetricLogger(print_fn=print_fn)
+    pending = []
+    for it, (imgs, lbls) in enumerate(feed):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, imgs, lbls, sub)
+        pending.append(metrics)
+        if it % log_every == 0 or it == steps_per_epoch - 1:
+            for m in pending:
+                logger.update(**{k: float(v) for k, v in m.items()})
+            pending.clear()
+            loss_val = logger.meters["loss"].value
+            if not math.isfinite(loss_val):
+                print_fn(f"Loss is {loss_val}, stopping training")
+                sys.exit(1)
+            print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
+    for m in pending:
+        logger.update(**{k: float(v) for k, v in m.items()})
+    return state, logger.averages()
+
+
+def evaluate(eval_step: Callable, feed: Iterable, *args,
+             print_fn=master_print, header: str = "Test:"
+             ) -> Dict[str, float]:
+    """Top-1/top-5/loss over a feed (reference engine.py:222-291).
+    `args` are the model state pieces the eval step expects."""
+    tot = {"loss_sum": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
+    for imgs, lbls in feed:
+        if imgs.ndim == 5:          # (A, mb, ...) -> flatten accum
+            imgs = imgs.reshape(-1, *imgs.shape[2:])
+            lbls = lbls.reshape(-1)
+        m = eval_step(*args, imgs, lbls)
+        for k in tot:
+            tot[k] += float(m[k])
+    n = max(tot["count"], 1.0)
+    stats = {"loss": tot["loss_sum"] / n, "acc1": 100.0 * tot["top1"] / n,
+             "acc5": 100.0 * tot["top5"] / n}
+    print_fn(f"{header} Acc@1 {stats['acc1']:.3f} Acc@5 {stats['acc5']:.3f} "
+             f"loss {stats['loss']:.3f}")
+    return stats

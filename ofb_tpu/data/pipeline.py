@@ -1,0 +1,128 @@
+"""Input pipeline: parallel host decode -> device-side augmentation ->
+double-buffered feed.
+
+Replaces the reference's torch DataLoader + CPU-side timm transforms
+(reference search.py:462-476, datasets.py:127-163). Host workers only
+decode/resize to a fixed staging size (uint8); RandomResizedCrop, flip,
+RandAugment/color-jitter, normalize and RandomErasing run jitted on device
+(ofb_tpu/ops/augment.py). A one-deep prefetch overlaps host decode with
+device compute (the TPU-side analog of pin_memory + non_blocking H2D,
+reference engine.py:97-98).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DataConfig
+from ..ops.augment import eval_preprocess_batch, train_augment_batch
+from .samplers import distributed_indices, epoch_batches, ra_indices
+
+
+class HostLoader:
+    """Iterates (uint8 images (B,S,S,3), labels (B,)) for one epoch's index
+    plan, with optional torch-DataLoader worker parallelism for decode."""
+
+    def __init__(self, dataset, batch_indices: np.ndarray,
+                 num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_indices = batch_indices
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return len(self.batch_indices)
+
+    def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_workers()
+        else:
+            for batch in self.batch_indices:
+                imgs, lbls = zip(*(self.dataset[int(i)] for i in batch))
+                yield np.stack(imgs), np.asarray(lbls, np.int32)
+
+    def _iter_workers(self):
+        import torch
+        from torch.utils.data import DataLoader, Dataset
+
+        ds = self.dataset
+        flat = self.batch_indices.reshape(-1)
+
+        class _View(Dataset):
+            def __len__(self):
+                return len(flat)
+
+            def __getitem__(self, i):
+                img, lbl = ds[int(flat[i])]
+                return torch.from_numpy(np.ascontiguousarray(img)), lbl
+
+        bs = self.batch_indices.shape[1]
+        dl = DataLoader(_View(), batch_size=bs, shuffle=False,
+                        num_workers=self.num_workers, drop_last=False)
+        for imgs, lbls in dl:
+            yield imgs.numpy(), lbls.numpy().astype(np.int32)
+
+
+def make_epoch_loader(dataset, *, epoch: int, rank: int, world: int,
+                      batch_size: int, repeated_aug: bool = True,
+                      train: bool = True, seed: int = 0,
+                      num_workers: int = 0) -> HostLoader:
+    n = len(dataset)
+    if train and repeated_aug:
+        idx = ra_indices(n, epoch, rank, world, seed=seed)
+    else:
+        idx = distributed_indices(n, epoch, rank, world, shuffle=train,
+                                  seed=seed)
+    batches = epoch_batches(idx, batch_size, drop_last=train)
+    return HostLoader(dataset, batches, num_workers=num_workers)
+
+
+def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
+                accum_iter: int = 1, out_size: int = 224,
+                use_randaug: bool = True, re_prob: float = 0.25,
+                batch_sharding=None, prefetch: int = 2
+                ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Yields device-resident (images (A, mb, H, W, 3) float32, labels
+    (A, mb)) with augmentation already applied, `prefetch` batches ahead."""
+
+    def produce():
+        nonlocal rng
+        for imgs_u8, lbls in loader:
+            rng, sub = jax.random.split(rng)
+            x = jnp.asarray(imgs_u8)
+            if train:
+                x = train_augment_batch(sub, x, out_size=out_size,
+                                        use_randaug=use_randaug,
+                                        re_prob=re_prob)
+            else:
+                x = eval_preprocess_batch(x, out_size=out_size)
+            B = x.shape[0]
+            mb = B // accum_iter
+            x = x[: mb * accum_iter].reshape(accum_iter, mb, *x.shape[1:])
+            y = jnp.asarray(lbls[: mb * accum_iter]).reshape(accum_iter, mb)
+            if batch_sharding is not None:
+                x = jax.device_put(x, batch_sharding)
+                y = jax.device_put(y, batch_sharding)
+            yield x, y
+
+    it = produce()
+    buf = collections.deque()
+    try:
+        for _ in range(prefetch):
+            buf.append(next(it))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = None
+        try:
+            nxt = next(it)
+        except StopIteration:
+            pass
+        yield buf.popleft()
+        if nxt is not None:
+            buf.append(nxt)

@@ -1,0 +1,159 @@
+"""Model registry: named factories like the reference's timm registrations.
+
+Reference registers DeiT search/finetune factories in models/model.py
+(deit_*_mim at :89-111,141-164; deit_*_finetune at :114-119,168-173;
+distilled at :177-272) plus ~20 stock vit_* factories
+(models/vision_transformer.py:1058-1310). Here `create_model(name, ...)`
+returns a `ModelBundle` of static config + search space + init/apply
+callables — the functional equivalent of an nn.Module instance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+from .mim_vit import init_alphas, init_mim_params, mim_forward
+from .search_space import ArchState, SearchSpace
+from .vit import ModelCfg, init_vit_params, vit_forward
+
+_REGISTRY: Dict[str, Callable[..., "ModelBundle"]] = {}
+
+
+@dataclass
+class ModelBundle:
+    name: str
+    cfg: ModelCfg
+    kind: str                       # 'mim' (searchable) | 'dense'
+    space: Optional[SearchSpace] = None
+    mae: bool = True
+
+    def init(self, key, *, with_arch: bool = True):
+        if self.kind == "mim":
+            kp, ka = jax.random.split(key)
+            params = init_mim_params(kp, self.cfg, self.space, mae=self.mae)
+            if not with_arch:
+                return params
+            alphas = init_alphas(ka, self.space)
+            arch = ArchState.create(self.space)
+            return params, alphas, arch
+        return init_vit_params(key, self.cfg)
+
+    def apply(self, params, x, **kw):
+        if self.kind == "mim":
+            return mim_forward(params, kw.pop("alphas"), kw.pop("arch"), x,
+                               self.cfg, self.space, **kw)
+        return vit_forward(params, x, self.cfg, **kw)
+
+
+def register_model(fn):
+    _REGISTRY[fn.__name__] = fn
+    return fn
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+def create_model(name: str, **kwargs) -> ModelBundle:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model '{name}'; known: {list_models()}")
+    return _REGISTRY[name](**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# DeiT configurations (reference models/model.py)
+# ---------------------------------------------------------------------------
+
+_DEIT_DIMS = {
+    "tiny": dict(embed_dim=192, num_heads=3),
+    "small": dict(embed_dim=384, num_heads=6),
+    "base": dict(embed_dim=768, num_heads=12),
+}
+
+
+def _deit_cfg(size: str, img_size=224, num_classes=1000, distilled=False,
+              drop_rate=0.0, drop_path_rate=0.1) -> ModelCfg:
+    d = _DEIT_DIMS[size]
+    return ModelCfg(img_size=img_size, patch_size=16,
+                    num_classes=num_classes, depth=12, mlp_ratio=4.0,
+                    distilled=distilled, drop_rate=drop_rate,
+                    drop_path_rate=drop_path_rate, **d)
+
+
+def _mim_factory(size: str):
+    def factory(num_classes=1000, img_size=224, mae=True, attn_search=True,
+                mlp_search=True, embed_search=True, patch_search=True,
+                head_search=False, channel_search=False, mask_ratio=1.0,
+                drop_rate=0.0, drop_path_rate=0.1, distilled=False,
+                **_unused) -> ModelBundle:
+        cfg = _deit_cfg(size, img_size, num_classes, distilled, drop_rate,
+                        drop_path_rate)
+        space = SearchSpace.build(
+            cfg.embed_dim, cfg.depth, cfg.num_heads, cfg.hidden,
+            cfg.num_patches, attn_search=attn_search, mlp_search=mlp_search,
+            embed_search=embed_search, patch_search=patch_search,
+            head_search=head_search, channel_search=channel_search,
+            mask_ratio=mask_ratio)
+        return ModelBundle(name=f"deit_{size}_patch16_{img_size}_mim",
+                           cfg=cfg, kind="mim", space=space, mae=mae)
+    return factory
+
+
+def _dense_factory(size: str, img_size=224, distilled=False):
+    def factory(num_classes=1000, drop_rate=0.0, drop_path_rate=0.1,
+                embed_dim=None, num_heads=None, head_dim=None,
+                mlp_hidden=None, qk_scale=None, **_unused) -> ModelBundle:
+        cfg = _deit_cfg(size, img_size, num_classes, distilled, drop_rate,
+                        drop_path_rate)
+        # exported (pruned) subnets override dims explicitly
+        if embed_dim is not None:
+            cfg = replace(cfg, embed_dim=embed_dim)
+        if num_heads is not None:
+            cfg = replace(cfg, num_heads=num_heads)
+        if head_dim is not None:
+            cfg = replace(cfg, head_dim=head_dim)
+        if mlp_hidden is not None:
+            cfg = replace(cfg, mlp_hidden=mlp_hidden)
+        if qk_scale is not None:
+            cfg = replace(cfg, qk_scale=qk_scale)
+        return ModelBundle(name=f"deit_{size}_patch16_{img_size}", cfg=cfg,
+                           kind="dense")
+    return factory
+
+
+# searchable MIM supernets (reference models/model.py:89-111, 141-164)
+for _size in ("tiny", "small", "base"):
+    _REGISTRY[f"deit_{_size}_patch16_224_mim"] = _mim_factory(_size)
+
+# plain/finetune models (reference models/model.py:71-85, 114-119, 168-173,
+# 231-254) + distilled (177-272)
+for _size in ("tiny", "small", "base"):
+    for _img in (224, 384):
+        for _dist in (False, True):
+            _suffix = "_distilled" if _dist else ""
+            _name = f"deit_{_size}{_suffix}_patch16_{_img}"
+            _REGISTRY[_name] = _dense_factory(_size, _img, _dist)
+            _REGISTRY[f"deit_{_size}_patch16_{_img}_finetune"] = \
+                _REGISTRY[f"deit_{_size}_patch16_{_img}"]
+
+# stock ViT variants (reference models/vision_transformer.py:1058-1310)
+_VIT_DIMS = {
+    "vit_small": dict(embed_dim=768, depth=8, num_heads=8, mlp_ratio=3.0),
+    "vit_base": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
+    "vit_large": dict(embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0),
+}
+for _vname, _dims in _VIT_DIMS.items():
+    for _patch in (16, 32):
+        for _img in (224, 384):
+            def _vf(num_classes=1000, drop_rate=0.0, drop_path_rate=0.0,
+                    _dims=_dims, _patch=_patch, _img=_img,
+                    **_unused) -> ModelBundle:
+                cfg = ModelCfg(img_size=_img, patch_size=_patch,
+                               num_classes=num_classes,
+                               drop_rate=drop_rate,
+                               drop_path_rate=drop_path_rate, **_dims)
+                return ModelBundle(name="vit", cfg=cfg, kind="dense")
+            _REGISTRY[f"{_vname}_patch{_patch}_{_img}"] = _vf

@@ -52,6 +52,16 @@ class ModelCfg:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     ln_eps: float = 1e-6
+    # Exported OFB subnets prune each block independently, so head count /
+    # head width / MLP hidden may differ per block (the reference mutates
+    # per-module shapes in `intersect`, finetune.py:182-249). Tuple of
+    # (num_heads, head_dim, mlp_hidden) per block; None = uniform.
+    block_overrides: Optional[Tuple[Tuple[int, int, int], ...]] = None
+
+    def block_dims(self, i: int) -> Tuple[int, int, int]:
+        if self.block_overrides is not None:
+            return self.block_overrides[i]
+        return (self.num_heads, self.hd, self.hidden)
 
     @property
     def hd(self) -> int:
@@ -226,12 +236,15 @@ def mlp(p: Params, x: jnp.ndarray, *, train=False, drop=0.0, rng=None
 
 
 def block_forward(p: Params, x: jnp.ndarray, cfg: ModelCfg, dp_rate: float,
-                  *, train=False, rng=None) -> jnp.ndarray:
+                  *, train=False, rng=None, block_idx: int = 0
+                  ) -> jnp.ndarray:
+    num_heads, head_dim, _ = cfg.block_dims(block_idx)
+    scale = cfg.qk_scale if cfg.qk_scale is not None else head_dim ** -0.5
     r1 = r2 = r3 = r4 = None
     if rng is not None:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
     h = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], eps=cfg.ln_eps)
-    h = attention(p["attn"], h, num_heads=cfg.num_heads, scale=cfg.scale,
+    h = attention(p["attn"], h, num_heads=num_heads, scale=scale,
                   train=train, attn_drop=cfg.attn_drop_rate,
                   proj_drop=cfg.drop_rate, rng=r1)
     x = x + drop_path(h, dp_rate, r2, train)
@@ -272,7 +285,8 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: ModelCfg, *,
     tok = dropout(tok, cfg.drop_rate, rngs[-1], train)
     for i, (bp, dp) in enumerate(zip(params["blocks"],
                                      cfg.drop_path_schedule())):
-        tok = block_forward(bp, tok, cfg, dp, train=train, rng=rngs[i])
+        tok = block_forward(bp, tok, cfg, dp, train=train, rng=rngs[i],
+                            block_idx=i)
     tok = layer_norm(tok, params["norm"]["scale"], params["norm"]["bias"],
                      eps=cfg.ln_eps)
 

@@ -1,0 +1,387 @@
+"""Device-side (jittable, batched) image augmentation.
+
+TPU-native replacement for the reference's host-side timm/PIL transform
+stack (reference datasets.py:127-163: RandomResizedCrop + flip + either
+color-jitter 0.4 or RandAugment 'rand-m9-mstd0.5-inc1' + normalize +
+RandomErasing p=0.25), so augmentation runs fused on-device instead of on
+CPU workers (SURVEY §7.1 item 4 / BASELINE north star).
+
+Host contract: the loader delivers fixed-size uint8 NHWC batches at a
+staging resolution (default 256x256, shorter-side resize + center crop done
+at decode time); all randomized augmentation happens here. Working dtype is
+float32 in the 0..255 domain (PIL semantics), normalized at the end.
+
+Deviations from timm (documented):
+  * RandomResizedCrop samples its box from the fixed staging image rather
+    than the original-resolution image (host decode must be static-shape).
+  * RandAugment applies the two photometric slots before the single
+    composed geometric warp instead of in random slot order (lets all
+    geometric ops share one resample).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# RandomResizedCrop + flip
+# ---------------------------------------------------------------------------
+
+def _sample_crop_box(rng, H, W, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """One crop box (y0, x0, h, w) in source pixels, timm semantics:
+    area ~ U(scale)*HW, aspect ~ exp(U(log ratio)), 10 tries then center
+    fallback — here a single rejection-free draw with clamping."""
+    k_area, k_ratio, k_y, k_x = jax.random.split(rng, 4)
+    area = jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1]) \
+        * H * W
+    log_r = jax.random.uniform(k_ratio, (), minval=math.log(ratio[0]),
+                               maxval=math.log(ratio[1]))
+    r = jnp.exp(log_r)
+    w = jnp.sqrt(area * r)
+    h = jnp.sqrt(area / r)
+    w = jnp.clip(w, 8.0, W)
+    h = jnp.clip(h, 8.0, H)
+    y0 = jax.random.uniform(k_y, ()) * (H - h)
+    x0 = jax.random.uniform(k_x, ()) * (W - w)
+    return y0, x0, h, w
+
+
+def random_resized_crop(rng, img: jnp.ndarray, out_size: int,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
+                        ) -> jnp.ndarray:
+    """img (H, W, C) float -> (out, out, C), bilinear."""
+    H, W, C = img.shape
+    y0, x0, h, w = _sample_crop_box(rng, H, W, scale, ratio)
+    # map output grid to source coords
+    ys = y0 + (jnp.arange(out_size) + 0.5) * (h / out_size) - 0.5
+    xs = x0 + (jnp.arange(out_size) + 0.5) * (w / out_size) - 0.5
+    yy = jnp.broadcast_to(ys[:, None], (out_size, out_size))
+    xx = jnp.broadcast_to(xs[None, :], (out_size, out_size))
+    coords = jnp.stack([yy, xx], 0)
+
+    def chan(c):
+        return jax.scipy.ndimage.map_coordinates(
+            img[..., c], [coords[0], coords[1]], order=1, mode="nearest")
+    return jnp.stack([chan(c) for c in range(C)], axis=-1)
+
+
+def center_crop_resize(img: jnp.ndarray, out_size: int,
+                       crop_pct: float = 0.875) -> jnp.ndarray:
+    """Eval transform: resize(out/crop_pct) + center crop (reference
+    datasets.py:152-160)."""
+    H, W, C = img.shape
+    scale_size = int(out_size / crop_pct)
+    short = min(H, W)
+    nh, nw = int(round(H * scale_size / short)), int(
+        round(W * scale_size / short))
+    img = jax.image.resize(img, (nh, nw, C), method="bicubic")
+    y0 = (nh - out_size) // 2
+    x0 = (nw - out_size) // 2
+    return jax.lax.dynamic_slice(img, (y0, x0, 0), (out_size, out_size, C))
+
+
+# ---------------------------------------------------------------------------
+# Photometric primitives (0..255 float domain, PIL-equivalent)
+# ---------------------------------------------------------------------------
+
+def _blend(a, b, factor):
+    return jnp.clip(b + (a - b) * factor, 0.0, 255.0)
+
+
+def _grayscale(img):
+    l = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    return jnp.broadcast_to(l[..., None], img.shape)
+
+
+def brightness(img, factor):
+    return _blend(img, jnp.zeros_like(img), factor)
+
+
+def contrast(img, factor):
+    mean = jnp.mean(_grayscale(img)[..., 0])
+    return _blend(img, jnp.full_like(img, mean), factor)
+
+
+def color(img, factor):
+    return _blend(img, _grayscale(img), factor)
+
+
+def sharpness(img, factor):
+    k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    blur = jax.lax.conv_general_dilated(
+        img[None].transpose(0, 3, 1, 2),
+        jnp.broadcast_to(k[None, None], (img.shape[-1], 1, 3, 3)),
+        (1, 1), "SAME", feature_group_count=img.shape[-1])[0].transpose(
+            1, 2, 0)
+    return _blend(img, blur, factor)
+
+
+def invert(img):
+    return 255.0 - img
+
+
+def posterize(img, bits):
+    shift = (8 - bits).astype(jnp.uint8)
+    q = jnp.right_shift(img.astype(jnp.uint8), shift)
+    return jnp.left_shift(q, shift).astype(jnp.float32)
+
+
+def solarize(img, thresh):
+    return jnp.where(img >= thresh, 255.0 - img, img)
+
+
+def solarize_add(img, add):
+    return jnp.where(img < 128.0, jnp.clip(img + add, 0, 255), img)
+
+
+def autocontrast(img):
+    lo = jnp.min(img, axis=(0, 1), keepdims=True)
+    hi = jnp.max(img, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = (img - lo) * scale
+    return jnp.where(hi > lo, jnp.clip(out, 0, 255), img)
+
+
+def equalize(img):
+    """Per-channel histogram equalization (PIL semantics)."""
+    def chan(c):
+        x = jnp.clip(img[..., c].astype(jnp.int32), 0, 255).reshape(-1)
+        hist = jnp.bincount(x, length=256)
+        cum = jnp.cumsum(hist)
+        # standard cdf mapping: lut[i] = round(cdf(i) * 255)
+        cdf = cum / jnp.maximum(cum[-1], 1)
+        lut = jnp.round(cdf * 255.0)
+        return jnp.take(lut, jnp.clip(img[..., c].astype(jnp.int32), 0, 255))
+    return jnp.stack([chan(c) for c in range(img.shape[-1])],
+                     axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Geometric: one composed affine warp
+# ---------------------------------------------------------------------------
+
+def affine_warp(img: jnp.ndarray, mat: jnp.ndarray,
+                fill: float = 128.0) -> jnp.ndarray:
+    """Apply a 2x3 inverse affine matrix (output->source coords, about the
+    image center), bilinear, constant fill (PIL fillcolor=128)."""
+    H, W, C = img.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    xs = jnp.arange(W, dtype=jnp.float32) - cx
+    yy = jnp.broadcast_to(ys[:, None], (H, W))
+    xx = jnp.broadcast_to(xs[None, :], (H, W))
+    sx = mat[0, 0] * xx + mat[0, 1] * yy + mat[0, 2] + cx
+    sy = mat[1, 0] * xx + mat[1, 1] * yy + mat[1, 2] + cy
+
+    def chan(c):
+        return jax.scipy.ndimage.map_coordinates(
+            img[..., c], [sy, sx], order=1, mode="constant", cval=fill)
+    return jnp.stack([chan(c) for c in range(C)], axis=-1)
+
+
+def _compose(m1, m2):
+    a = jnp.concatenate([m1, jnp.array([[0.0, 0.0, 1.0]])], 0)
+    b = jnp.concatenate([m2, jnp.array([[0.0, 0.0, 1.0]])], 0)
+    return (a @ b)[:2]
+
+
+def _identity_mat():
+    return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+def _rotate_mat(deg):
+    th = deg * math.pi / 180.0
+    c, s = jnp.cos(th), jnp.sin(th)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0]])  # inverse rotation
+
+
+def _shear_x_mat(v):
+    return jnp.array([[1.0, v, 0.0], [0.0, 1.0, 0.0]])
+
+
+def _shear_y_mat(v):
+    return jnp.array([[1.0, 0.0, 0.0], [v, 1.0, 0.0]])
+
+
+def _translate_mat(tx, ty):
+    return jnp.array([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (rand-m9-mstd0.5-inc1 default; reference datasets.py:137)
+# ---------------------------------------------------------------------------
+
+# op ids
+_PHOTO_OPS = ("autocontrast", "equalize", "invert", "posterize", "solarize",
+              "solarize_add", "color", "contrast", "brightness", "sharpness")
+_GEO_OPS = ("rotate", "shear_x", "shear_y", "translate_x", "translate_y")
+NUM_OPS = len(_PHOTO_OPS) + len(_GEO_OPS)
+
+
+def _apply_photo_slot(img, op_idx, frac, enh_factor, enabled):
+    """Apply one photometric slot: compute each candidate, select by index.
+    (All candidates are cheap elementwise passes; geometric ops are handled
+    separately so the image is resampled once.)
+
+    frac: unsigned magnitude/10 (posterize / solarize / solarize-add);
+    enh_factor: 1 + sign*frac*0.9 ('-inc1' enhancement mapping).
+    """
+    candidates = [
+        autocontrast(img),
+        equalize(img),
+        invert(img),
+        posterize(img, jnp.maximum(4 - jnp.round(frac * 4), 1).astype(
+            jnp.int32)),                                   # inc1 variant
+        solarize(img, 256.0 - frac * 256.0),               # inc1 variant
+        solarize_add(img, frac * 110.0),
+        color(img, enh_factor),
+        contrast(img, enh_factor),
+        brightness(img, enh_factor),
+        sharpness(img, enh_factor),
+    ]
+    out = img
+    for i, cand in enumerate(candidates):
+        out = jnp.where(op_idx == i, cand, out)
+    return jnp.where(enabled, out, img)
+
+
+def rand_augment(rng, img: jnp.ndarray, *, magnitude: float = 9.0,
+                 mag_std: float = 0.5, num_layers: int = 2,
+                 apply_prob: float = 0.5) -> jnp.ndarray:
+    """timm RandAugment for one image (float 0..255 HWC).
+
+    Each of `num_layers` slots picks one of 15 ops uniformly and applies it
+    with probability `apply_prob`; magnitude ~ N(magnitude, mag_std) clipped
+    to [0, 10] ('mstd0.5'); enhancement/geometry magnitudes use the
+    '-inc1' (increasing-severity) mappings with random sign.
+    """
+    geo = _identity_mat()
+    for layer in range(num_layers):
+        rng, k_op, k_m, k_sign, k_apply = jax.random.split(rng, 5)
+        op_idx = jax.random.randint(k_op, (), 0, NUM_OPS)
+        m = jnp.clip(magnitude + mag_std * jax.random.normal(k_m), 0.0, 10.0)
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5), 1.0, -1.0)
+        enabled = jax.random.bernoulli(k_apply, apply_prob)
+        frac = m / 10.0
+        enh_factor = 1.0 + sign * frac * 0.9
+        img = _apply_photo_slot(img, op_idx, frac, enh_factor, enabled)
+
+        # geometric slot: fold into the composed matrix
+        H = img.shape[0]
+        geo_id = op_idx - len(_PHOTO_OPS)
+        deg = sign * frac * 30.0
+        shear = sign * frac * 0.3
+        trans = sign * frac * 0.45 * H
+        mats = [
+            _rotate_mat(deg),
+            _shear_x_mat(shear),
+            _shear_y_mat(shear),
+            _translate_mat(trans, 0.0),
+            _translate_mat(0.0, trans),
+        ]
+        sel = _identity_mat()
+        for i, mt in enumerate(mats):
+            sel = jnp.where((geo_id == i) & enabled, mt, sel)
+        geo = _compose(sel, geo)
+
+    return affine_warp(img, geo)
+
+
+# ---------------------------------------------------------------------------
+# Color jitter / RandomErasing / normalize
+# ---------------------------------------------------------------------------
+
+def color_jitter(rng, img, strength: float = 0.4):
+    """brightness/contrast/saturation each ~ U(1-s, 1+s) (torchvision
+    ColorJitter as used via timm when auto_augment is off)."""
+    kb, kc, ks = jax.random.split(rng, 3)
+    img = brightness(img, jax.random.uniform(kb, (), minval=1 - strength,
+                                             maxval=1 + strength))
+    img = contrast(img, jax.random.uniform(kc, (), minval=1 - strength,
+                                           maxval=1 + strength))
+    img = color(img, jax.random.uniform(ks, (), minval=1 - strength,
+                                        maxval=1 + strength))
+    return img
+
+
+def random_erasing(rng, img_norm: jnp.ndarray, *, prob: float = 0.25,
+                   area=(0.02, 1 / 3), aspect=(0.3, 3.3)) -> jnp.ndarray:
+    """timm RandomErasing mode='pixel' count=1: replace a random box of the
+    *normalized* image with N(0,1) noise (reference datasets.py:141-147)."""
+    H, W, C = img_norm.shape
+    k_apply, k_area, k_ratio, k_y, k_x, k_noise = jax.random.split(rng, 6)
+    apply = jax.random.bernoulli(k_apply, prob)
+    a = jax.random.uniform(k_area, (), minval=area[0], maxval=area[1]) * H * W
+    log_r = jax.random.uniform(k_ratio, (), minval=math.log(aspect[0]),
+                               maxval=math.log(aspect[1]))
+    r = jnp.exp(log_r)
+    h = jnp.clip(jnp.sqrt(a * r), 1.0, H)
+    w = jnp.clip(jnp.sqrt(a / r), 1.0, W)
+    y0 = jax.random.uniform(k_y, ()) * (H - h)
+    x0 = jax.random.uniform(k_x, ()) * (W - w)
+    rows = jnp.arange(H, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(W, dtype=jnp.float32)[None, :]
+    box = ((rows >= y0) & (rows < y0 + h) & (cols >= x0) & (cols < x0 + w))
+    noise = jax.random.normal(k_noise, img_norm.shape)
+    out = jnp.where(box[..., None] & apply, noise, img_norm)
+    return out
+
+
+def normalize(img255: jnp.ndarray) -> jnp.ndarray:
+    return (img255 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# Full batched pipelines
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("out_size", "use_randaug",
+                                   "color_jitter_strength", "re_prob"))
+def train_augment_batch(rng, images_u8: jnp.ndarray, *, out_size: int = 224,
+                        use_randaug: bool = True,
+                        color_jitter_strength: float = 0.4,
+                        re_prob: float = 0.25) -> jnp.ndarray:
+    """uint8 staging batch (B, S, S, 3) -> augmented normalized float32
+    (B, out, out, 3). The train transform of reference datasets.py:127-150."""
+    B = images_u8.shape[0]
+    rngs = jax.random.split(rng, B)
+
+    def one(rng, img_u8):
+        k_crop, k_flip, k_aug, k_er = jax.random.split(rng, 4)
+        img = img_u8.astype(jnp.float32)
+        img = random_resized_crop(k_crop, img, out_size)
+        img = jnp.where(jax.random.bernoulli(k_flip, 0.5),
+                        img[:, ::-1], img)
+        if use_randaug:
+            img = rand_augment(k_aug, img)
+        else:
+            img = color_jitter(k_aug, img, color_jitter_strength)
+        img = normalize(img)
+        img = random_erasing(k_er, img, prob=re_prob)
+        return img
+
+    return jax.vmap(one)(rngs, images_u8)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def eval_preprocess_batch(images_u8: jnp.ndarray, *, out_size: int = 224
+                          ) -> jnp.ndarray:
+    """Eval transform (reference datasets.py:152-163): assumes the host
+    already resized/center-cropped to staging; final resize + normalize."""
+    imgs = images_u8.astype(jnp.float32)
+    B, H, W, C = imgs.shape
+    if (H, W) != (out_size, out_size):
+        def one(img):
+            return center_crop_resize(img, out_size)
+        imgs = jax.vmap(one)(imgs)
+    return normalize(imgs)

@@ -39,9 +39,17 @@ def norm_targets(targets: jnp.ndarray, patch_size: int = 47) -> jnp.ndarray:
     """
     assert patch_size % 2 == 1
     x = targets.astype(jnp.float32)
-    ones = jnp.ones_like(x[..., :1])
-    # in-bounds element count per window position
-    cnt = _window_sum(ones, patch_size)
+    # in-bounds element count per window position — analytic (avoids a
+    # multi-second XLA constant-fold of reduce_window over a ones tensor)
+    import numpy as np
+    H, W = x.shape[1], x.shape[2]
+    half = patch_size // 2
+    def axis_counts(n):
+        i = np.arange(n)
+        return (np.minimum(i + half, n - 1) - np.maximum(i - half, 0) + 1)
+    cnt = (axis_counts(H)[:, None] * axis_counts(W)[None, :]).astype(
+        np.float32)
+    cnt = jnp.asarray(cnt)[None, :, :, None]
     mean = _window_sum(x, patch_size) / cnt
     sq_mean = _window_sum(jnp.square(x), patch_size) / cnt
     var = (sq_mean - jnp.square(mean)) * (cnt / jnp.maximum(cnt - 1.0, 1.0))

@@ -1,0 +1,69 @@
+"""Export CLI: searched supernet checkpoint -> compact dense checkpoint.
+
+The standalone analog of the reference's in-loader `intersect`
+(reference finetune.py:182-249) — materializes the pruned subnet once so
+finetune / serving load a genuinely small model.
+
+  python scripts/export.py --checkpoint runs/exp/best --out runs/exp/exported
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True,
+                    help="searched supernet checkpoint dir")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--model", default="deit_small_patch16_224_mim")
+    ap.add_argument("--num-classes", type=int, default=1000)
+    ap.add_argument("--no-fuse", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from ofb_tpu.core import checkpoint as ckpt
+    from ofb_tpu.core.export import export_subnet, exported_param_count
+    from ofb_tpu.models.registry import create_model
+
+    meta = ckpt.latest_meta(args.checkpoint)
+    saved_args = (meta or {}).get("args", {})
+    model_name = saved_args.get("model", args.model)
+    bundle = create_model(model_name, num_classes=args.num_classes)
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    restored = ckpt.load_checkpoint(args.checkpoint, params=params,
+                                    alphas=alphas, arch=arch)
+    params = restored["params"]
+    alphas = restored.get("alphas", alphas)
+    arch = restored.get("arch", arch)
+
+    # force-finish an unconverged search (reference finetune.py:199-201)
+    from ofb_tpu.core.compress import compress as run_compress
+    guard = 0
+    while not arch.all_finished and guard < 20:
+        params, alphas, arch, _, rep = run_compress(params, alphas, arch,
+                                                    None, bundle.space,
+                                                    thresh=1.0)
+        guard += 1
+        print("force-finish:", "; ".join(rep.events) or "(no event)")
+
+    dense, dense_cfg, export_meta = export_subnet(
+        params, arch, bundle.space, bundle.cfg, fuse=not args.no_fuse)
+    n = exported_param_count(dense)
+    print(f"exported model: D={dense_cfg.embed_dim}, "
+          f"blocks={dense_cfg.block_overrides}, params={n / 1e6:.2f}M")
+    ckpt.save_checkpoint(args.out, params=dense, meta={
+        "exported": True, "model_cfg": dataclasses.asdict(dense_cfg),
+        "export": export_meta, "source": args.checkpoint,
+        "params_m": n / 1e6})
+    print(f"saved to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Tests: samplers, datasets (synthetic), augmentation ops vs PIL,
+optimizer labeling/schedules, mixup, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofb_tpu.config import OptimFamilyConfig, ScheduleConfig
+from ofb_tpu.core.optim import (build_search_optimizer, cosine_schedule,
+                                label_params, make_trainable_mask)
+from ofb_tpu.data.datasets import SyntheticDataset, build_dataset
+from ofb_tpu.data.samplers import distributed_indices, epoch_batches, \
+    ra_indices
+from ofb_tpu.ops import augment as A
+from ofb_tpu.ops.mixup import mixup_cutmix, one_hot_smooth
+
+
+# ---------------------------------------------------------------------------
+# samplers (reference samplers.py:8-59; SURVEY §4 seam)
+# ---------------------------------------------------------------------------
+
+def test_ra_sampler_semantics():
+    n, world = 1024, 4
+    per_rank = [ra_indices(n, epoch=3, rank=r, world=world) for r in
+                range(world)]
+    num_selected = int(np.floor(n // 256 * 256 / world))
+    for idx in per_rank:
+        assert len(idx) == num_selected
+    # 3x repetition: across ranks the same index appears up to 3 times in
+    # one "world pass"
+    allidx = np.concatenate(per_rank)
+    _, counts = np.unique(allidx, return_counts=True)
+    assert counts.max() <= 3
+    # deterministic per epoch, different across epochs
+    again = ra_indices(n, epoch=3, rank=0, world=world)
+    np.testing.assert_array_equal(per_rank[0], again)
+    other = ra_indices(n, epoch=4, rank=0, world=world)
+    assert not np.array_equal(per_rank[0], other)
+
+
+def test_distributed_indices_partition():
+    n, world = 100, 8
+    parts = [distributed_indices(n, 0, r, world) for r in range(world)]
+    total = sum(len(p) for p in parts)
+    assert total == int(np.ceil(n / world)) * world
+    covered = set(np.concatenate(parts).tolist())
+    assert covered == set(range(n))
+
+
+def test_epoch_batches_shape():
+    b = epoch_batches(np.arange(103), 10)
+    assert b.shape == (10, 10)
+
+
+def test_synthetic_dataset():
+    ds = SyntheticDataset(64, 10, 32)
+    img, lbl = ds[7]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    img2, _ = ds[7]
+    np.testing.assert_array_equal(img, img2)
+
+
+# ---------------------------------------------------------------------------
+# augmentation vs PIL ground truth
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def sample_img():
+    rs = np.random.RandomState(0)
+    return rs.randint(0, 256, (24, 24, 3), np.uint8)
+
+
+def test_invert_solarize_posterize_vs_pil(sample_img):
+    from PIL import Image, ImageOps
+    img = jnp.asarray(sample_img, jnp.float32)
+    pil = Image.fromarray(sample_img)
+
+    np.testing.assert_allclose(np.array(A.invert(img)),
+                               np.asarray(ImageOps.invert(pil)), atol=0)
+    np.testing.assert_allclose(
+        np.array(A.solarize(img, 128.0)),
+        np.asarray(ImageOps.solarize(pil, 128)), atol=0)
+    np.testing.assert_allclose(
+        np.array(A.posterize(img, jnp.asarray(3))),
+        np.asarray(ImageOps.posterize(pil, 3)), atol=0)
+
+
+def test_autocontrast_matches_pil(sample_img):
+    from PIL import Image, ImageOps
+    img = jnp.asarray(sample_img, jnp.float32)
+    pil = Image.fromarray(sample_img)
+    ours = np.array(A.autocontrast(img))
+    ref = np.asarray(ImageOps.autocontrast(pil)).astype(np.float32)
+    assert np.abs(ours - ref).mean() < 2.0  # rounding differences
+
+
+def test_enhancement_ops_match_pil(sample_img):
+    from PIL import Image, ImageEnhance
+    img = jnp.asarray(sample_img, jnp.float32)
+    pil = Image.fromarray(sample_img)
+    for fac in (0.5, 1.3):
+        np.testing.assert_allclose(
+            np.array(A.brightness(img, fac)),
+            np.asarray(ImageEnhance.Brightness(pil).enhance(fac)),
+            atol=1.0)
+        np.testing.assert_allclose(
+            np.array(A.color(img, fac)),
+            np.asarray(ImageEnhance.Color(pil).enhance(fac)), atol=2.0)
+        ours_c = np.array(A.contrast(img, fac))
+        ref_c = np.asarray(ImageEnhance.Contrast(pil).enhance(fac))
+        assert np.abs(ours_c - ref_c).mean() < 3.0
+
+
+def test_affine_identity_and_translate(sample_img):
+    img = jnp.asarray(sample_img, jnp.float32)
+    out = A.affine_warp(img, jnp.array([[1.0, 0, 0], [0, 1.0, 0]]))
+    np.testing.assert_allclose(np.array(out), sample_img, atol=1e-3)
+    # translate by +4 px in x: output pixel x samples source x+4
+    out = A.affine_warp(img, jnp.array([[1.0, 0, 4.0], [0, 1.0, 0]]))
+    np.testing.assert_allclose(np.array(out)[:, :18], sample_img[:, 4:22],
+                               atol=1e-3)
+
+
+def test_train_augment_batch_shapes():
+    rs = np.random.RandomState(0)
+    batch = rs.randint(0, 256, (4, 40, 40, 3), np.uint8)
+    out = A.train_augment_batch(jax.random.PRNGKey(0), jnp.asarray(batch),
+                                out_size=32)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.array(out)).all()
+    # normalized domain: roughly centered
+    assert abs(float(out.mean())) < 3.0
+
+
+def test_eval_preprocess_batch():
+    rs = np.random.RandomState(0)
+    batch = rs.randint(0, 256, (2, 40, 40, 3), np.uint8)
+    out = A.eval_preprocess_batch(jnp.asarray(batch), out_size=32)
+    assert out.shape == (2, 32, 32, 3)
+
+
+# ---------------------------------------------------------------------------
+# mixup
+# ---------------------------------------------------------------------------
+
+def test_mixup_labels_sum_to_one():
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.rand(8, 16, 16, 3), jnp.float32)
+    lbls = jnp.asarray(rs.randint(0, 10, (8,)))
+    out_im, out_y = mixup_cutmix(jax.random.PRNGKey(0), imgs, lbls,
+                                 num_classes=10)
+    np.testing.assert_allclose(np.array(out_y.sum(-1)), np.ones(8),
+                               rtol=1e-5)
+    assert out_im.shape == imgs.shape
+
+
+def test_one_hot_smooth():
+    y = one_hot_smooth(jnp.asarray([2]), 10, 0.1)
+    assert abs(float(y[0, 2]) - 0.91) < 1e-6
+    assert abs(float(y[0, 0]) - 0.01) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# optimizer: labels, schedules, masks
+# ---------------------------------------------------------------------------
+
+def test_param_labels():
+    params = {
+        "pos_embed": jnp.zeros((1, 5, 8)),
+        "patch_embed": {"score": jnp.zeros((8,)),
+                        "proj": {"kernel": jnp.zeros((2, 2, 3, 8)),
+                                 "bias": jnp.zeros((8,))}},
+        "blocks": [{"attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
+                                     "bias": jnp.zeros((24,))}}}],
+        "decoder": {"conv": {"kernel": jnp.zeros((1, 1, 8, 12)),
+                             "bias": jnp.zeros((12,))}},
+    }
+    labels = label_params(params)
+    assert labels["pos_embed"] == "param_nd"
+    assert labels["patch_embed"]["score"] == "param_nd"
+    assert labels["patch_embed"]["proj"]["kernel"] == "param_d"
+    assert labels["blocks"][0]["attn"]["qkv"]["kernel"] == "param_d"
+    assert labels["blocks"][0]["attn"]["qkv"]["bias"] == "param_nd"
+    assert labels["decoder"]["conv"]["kernel"] == "dec_d"
+    assert labels["decoder"]["conv"]["bias"] == "dec_nd"
+
+
+def test_cosine_schedule_matches_timm_semantics():
+    sched = ScheduleConfig(warmup_lr=1e-6, min_lr=1e-5, warmup_epochs=2)
+    fn = cosine_schedule(1e-3, sched, total_steps=100, steps_per_epoch=10)
+    assert abs(float(fn(0)) - 1e-6) < 1e-9          # warmup start
+    assert abs(float(fn(20)) - 1e-3) < 1e-6          # warmup end -> base lr
+    mid = float(fn(60))                              # half of cosine span
+    assert 1e-5 < mid < 1e-3
+    assert abs(float(fn(100)) - 1e-5) < 1e-8         # min at end
+    assert abs(float(fn(150)) - 1e-5) < 1e-8         # clamped after end
+
+
+def test_trainable_mask_freezes():
+    params = {"patch_embed": {"score": jnp.zeros((4,))},
+              "blocks": [{"attn": {"score": jnp.zeros((2, 2))}}]}
+    alphas = {"patch": jnp.zeros(5), "embed": jnp.zeros(3),
+              "blocks": [{"attn": jnp.zeros((2, 2)), "mlp": jnp.zeros(3)}]}
+    pm, am = make_trainable_mask(params, alphas, freeze_weights=False,
+                                 w_patch=0.0, w_head=0.5, w_mlp=0.5,
+                                 w_embedding=0.5)
+    assert am["patch"] == 0.0 and am["embed"] == 1.0
+    assert am["blocks"][0]["attn"] == 1.0
