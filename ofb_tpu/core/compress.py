@@ -372,6 +372,32 @@ def _set_in(tree, path: Tuple, value):
     raise TypeError(f"cannot set path {path} in {type(tree)}")
 
 
+def decompress(arch: ArchState) -> ArchState:
+    """Re-open the search: clear `finished` on every module whose switch
+    still has multiple options (reference models/layers.py:340-343,
+    730-733, 1027-1030 `decompress`). Hard masks are NOT restored — the
+    reference physically discarded those weights; we keep the same
+    semantics."""
+    def open_dim(d: DimArch) -> DimArch:
+        if int(_np(d.switch).sum()) > 1:
+            return d.replace(finished=jnp.asarray(False))
+        return d
+
+    def open_attn(a: AttnArch) -> AttnArch:
+        if int(_np(a.switch).sum()) > 1:
+            return a.replace(finished=jnp.asarray(False))
+        return a
+
+    pa = arch.patch
+    if int(_np(pa.switch).sum()) > 1:
+        pa = pa.replace(finished=jnp.asarray(False))
+    return arch.replace(
+        embed=open_dim(arch.embed),
+        blocks=tuple(b.replace(attn=open_attn(b.attn), mlp=open_dim(b.mlp))
+                     for b in arch.blocks),
+        patch=pa)
+
+
 def update_w_p(arch: ArchState, frac_epoch: float, warmup_epochs: float,
                w_max: float = 0.99, w_min: float = 0.1) -> ArchState:
     """Anneal w_p for every *unfinished* module (reference engine.py:110-117

@@ -74,13 +74,71 @@ def step_schedule(base_lr: float, sched: ScheduleConfig,
     return fn
 
 
+def tanh_schedule(base_lr: float, sched: ScheduleConfig, total_steps: int,
+                  steps_per_epoch: int, lb: float = -7.0, ub: float = 3.0
+                  ) -> optax.Schedule:
+    """timm TanhLRScheduler semantics (reference lr_sched.py:78-93):
+    lr = min + (base - min) * 0.5 * (1 - tanh(lb + (ub-lb) * t))."""
+    warmup_steps = int(sched.warmup_epochs * steps_per_epoch)
+    decay_steps = max(total_steps - warmup_steps, 1)
+
+    def fn(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = sched.warmup_lr + (base_lr - sched.warmup_lr) * (
+            count / max(warmup_steps, 1))
+        t = jnp.clip((count - warmup_steps) / decay_steps, 0.0, 1.0)
+        tt = lb + (ub - lb) * t
+        tanh_lr = sched.min_lr + (base_lr - sched.min_lr) * 0.5 * (
+            1.0 - jnp.tanh(tt))
+        return jnp.where(count < warmup_steps, warm, tanh_lr)
+
+    return fn
+
+
 def make_schedule(base_lr: float, sched: ScheduleConfig, total_steps: int,
                   steps_per_epoch: int) -> optax.Schedule:
+    """Dispatch over the reference's scheduler set (lr_sched.py:44-123).
+    'plateau' needs a metric feedback loop and is handled host-side by
+    PlateauTracker below; the in-graph schedule is constant."""
     if sched.sched == "cosine":
         return cosine_schedule(base_lr, sched, total_steps, steps_per_epoch)
+    if sched.sched == "tanh":
+        return tanh_schedule(base_lr, sched, total_steps, steps_per_epoch)
     if sched.sched == "step":
         return step_schedule(base_lr, sched, steps_per_epoch)
     return lambda count: base_lr
+
+
+class PlateauTracker:
+    """Host-side plateau LR control (reference lr_sched.py:106-121):
+    multiply a scale factor by decay_rate after `patience` epochs without
+    metric improvement. The scale is passed into the step as an operand
+    and multiplied onto the schedule output."""
+
+    def __init__(self, patience: int = 10, decay_rate: float = 0.1,
+                 mode: str = "max", min_scale: float = 1e-3):
+        self.patience = patience
+        self.decay_rate = decay_rate
+        self.mode = mode
+        self.best = None
+        self.bad_epochs = 0
+        self.scale = 1.0
+        self.min_scale = min_scale
+
+    def update(self, metric: float) -> float:
+        better = (self.best is None
+                  or (metric > self.best if self.mode == "max"
+                      else metric < self.best))
+        if better:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.decay_rate,
+                                 self.min_scale)
+                self.bad_epochs = 0
+        return self.scale
 
 
 # ---------------------------------------------------------------------------

@@ -62,13 +62,20 @@ class _ResizeU8:
 
 
 class FolderDataset:
-    """ImageFolder-style dataset decoding to the staging resolution."""
+    """ImageFolder-style dataset decoding to the staging resolution.
+
+    JPEGs go through the native decode+stage library
+    (native/ofb_dataprep.cpp via ofb_tpu/data/native.py) when available;
+    everything else falls back to PIL."""
 
     def __init__(self, root: str, staging: int,
-                 class_subset: Optional[list] = None):
+                 class_subset: Optional[list] = None,
+                 native_decode: bool = True):
         import torchvision.datasets as tvd
         self.ds = tvd.ImageFolder(root)
         self.tf = _ResizeU8(staging)
+        self.staging = staging
+        self.native_decode = native_decode
         if class_subset is not None:
             keep = set(class_subset)
             self.samples = [(p, t) for (p, t) in self.ds.samples if t in keep]
@@ -81,11 +88,17 @@ class FolderDataset:
         return len(self.samples)
 
     def __getitem__(self, i):
-        from PIL import Image
         path, target = self.samples[i]
         with open(path, "rb") as f:
-            img = Image.open(f)
-            arr = self.tf(img)
+            data = f.read()
+        if self.native_decode and path.lower().endswith((".jpg", ".jpeg")):
+            from .native import stage_jpeg
+            arr = stage_jpeg(data, self.staging)
+            if arr is not None:
+                return arr, target
+        import io
+        from PIL import Image
+        arr = self.tf(Image.open(io.BytesIO(data)))
         return arr, target
 
 

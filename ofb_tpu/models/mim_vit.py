@@ -148,16 +148,16 @@ def gated_attention(p: Params, x: jnp.ndarray, alphas_blk, arch_blk,
             a.finished)
         qkv = qkv * gate.astype(qkv.dtype)[None, None, None]
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
-    attn = jax.nn.softmax(attn * a.scale, axis=-1).astype(x.dtype)
-    if train and cfg.attn_drop_rate > 0.0 and rng is not None:
-        rng, sub = jax.random.split(rng)
-        attn = dropout(attn, cfg.attn_drop_rate, sub, train)
-    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, H * hd)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    from .vit import _attend
+    y = _attend(q, k, v, a.scale, train=train,
+                attn_drop=cfg.attn_drop_rate, rng=r1)
+    y = y.reshape(B, N, H * hd)
     y = linear(p["proj"], y) * hard_embed.astype(x.dtype)
     if train and cfg.drop_rate > 0.0 and rng is not None:
-        _, sub = jax.random.split(rng)
-        y = dropout(y, cfg.drop_rate, sub, train)
+        y = dropout(y, cfg.drop_rate, r2, train)
     return y
 
 

@@ -199,6 +199,22 @@ def drop_path(x, rate, rng, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def _attend(q, k, v, scale, *, train=False, attn_drop=0.0, rng=None):
+    """Softmax attention over (B, N, H, hd). Routes to the fused Pallas
+    kernel (ops/pallas_attention.py) when attention dropout is inactive;
+    otherwise the jnp path (dropout needs the materialized matrix)."""
+    if train and attn_drop > 0.0 and rng is not None:
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(attn * scale, axis=-1).astype(q.dtype)
+        attn = dropout(attn, attn_drop, rng, train)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+    from ..ops.pallas_attention import fused_mha
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    return fused_mha(qt, kt, vt, scale).transpose(0, 2, 1, 3)
+
+
 def attention(p: Params, x: jnp.ndarray, *, num_heads: int, scale,
               train=False, attn_drop=0.0, proj_drop=0.0, rng=None
               ) -> jnp.ndarray:
@@ -209,16 +225,14 @@ def attention(p: Params, x: jnp.ndarray, *, num_heads: int, scale,
     hd = qkv.shape[-1] // (3 * num_heads)
     qkv = qkv.reshape(B, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
-    attn = jax.nn.softmax(attn * scale, axis=-1).astype(x.dtype)
-    if train and attn_drop > 0.0 and rng is not None:
-        rng, sub = jax.random.split(rng)
-        attn = dropout(attn, attn_drop, sub, train)
-    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, num_heads * hd)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    y = _attend(q, k, v, scale, train=train, attn_drop=attn_drop, rng=r1)
+    y = y.reshape(B, N, num_heads * hd)
     y = linear(p["proj"], y)
     if train and proj_drop > 0.0 and rng is not None:
-        _, sub = jax.random.split(rng)
-        y = dropout(y, proj_drop, sub, train)
+        y = dropout(y, proj_drop, r2, train)
     return y
 
 

@@ -21,12 +21,16 @@ import jax.numpy as jnp
 
 
 def _window_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Sum over k x k windows, stride 1, SAME padding. NHWC."""
+    """Sum over k x k windows, stride 1, SAME padding. NHWC.
+
+    Implemented as two separable 1-D passes (O(2k) per pixel instead of
+    O(k^2) — at k=47 that's ~23x less VPU work than a 2-D reduce_window)."""
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window_dimensions=(1, k, 1, 1),
+        window_strides=(1, 1, 1, 1), padding="SAME")
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="SAME")
+        x, 0.0, jax.lax.add, window_dimensions=(1, 1, k, 1),
+        window_strides=(1, 1, 1, 1), padding="SAME")
 
 
 def norm_targets(targets: jnp.ndarray, patch_size: int = 47) -> jnp.ndarray:

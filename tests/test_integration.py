@@ -1,0 +1,132 @@
+"""End-to-end integration: tiny search -> checkpoint -> export -> finetune,
+exercising the whole stack through the public flow (the reference's
+run_exp.sh two-stage pipeline in miniature)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofb_tpu.config import DataConfig, SearchConfig
+from ofb_tpu.core import checkpoint as ckpt
+from ofb_tpu.core.compress import compress
+from ofb_tpu.core.engine import evaluate, search_one_epoch
+from ofb_tpu.core.export import export_subnet
+from ofb_tpu.core.lr_decay import build_finetune_optimizer
+from ofb_tpu.core.optim import build_search_optimizer, make_schedule
+from ofb_tpu.core.steps import (TrainState, make_eval_step,
+                                make_eval_step_dense, make_search_step,
+                                make_train_step)
+from ofb_tpu.config import MixupConfig, ScheduleConfig
+from ofb_tpu.data.datasets import SyntheticDataset
+from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
+from ofb_tpu.models.registry import ModelBundle
+from ofb_tpu.models.search_space import SearchSpace
+from ofb_tpu.models.vit import ModelCfg
+
+CFG = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
+               depth=2, num_heads=2, mlp_ratio=2.0)
+
+
+def make_bundle():
+    space = SearchSpace.build(32, 2, 2, CFG.hidden, CFG.num_patches,
+                              patch_search=True)
+    return ModelBundle(name="tiny", cfg=CFG, kind="mim", space=space)
+
+
+def test_search_to_finetune_roundtrip(tmp_path):
+    bundle = make_bundle()
+    space, cfg = bundle.space, bundle.cfg
+    scfg = SearchConfig(accum_iter=2, target_flops=0.0002, epochs=2,
+                        compress_per_epoch=2).resolve(1)
+
+    ds = SyntheticDataset(64, 10, 40)
+    loader = make_epoch_loader(ds, epoch=0, rank=0, world=1,
+                               batch_size=8 * scfg.accum_iter,
+                               repeated_aug=False, train=True)
+    steps_per_epoch = len(loader)
+    assert steps_per_epoch >= 2
+
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=steps_per_epoch * 4, steps_per_epoch=steps_per_epoch)
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    step = make_search_step(space, cfg, scfg, tx, phase="search",
+                            compute_dtype=jnp.float32, donate=False)
+
+    feed = device_feed(loader, rng=jax.random.PRNGKey(1), train=True,
+                       accum_iter=scfg.accum_iter, out_size=32)
+    state, stats, finish, pruned = search_one_epoch(
+        state, step, feed, epoch=0, steps_per_epoch=steps_per_epoch,
+        scfg=scfg, space=space, rng=jax.random.PRNGKey(2),
+        finish_search=False, print_fn=lambda *a, **k: None)
+    assert np.isfinite(stats["loss_total"])
+
+    # checkpoint roundtrip
+    cdir = str(tmp_path / "best")
+    ckpt.save_checkpoint(cdir, params=state.params, alphas=state.alphas,
+                         arch=state.arch, meta={"epoch": 0})
+    params2, alphas2, arch2 = bundle.init(jax.random.PRNGKey(9))
+    restored = ckpt.load_checkpoint(cdir, params=params2, alphas=alphas2,
+                                    arch=arch2)
+    for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # force-finish + export
+    p, a, ar = restored["params"], restored["alphas"], restored["arch"]
+    guard = 0
+    while not ar.all_finished and guard < 20:
+        p, a, ar, _, _ = compress(p, a, ar, None, space, thresh=1.0)
+        guard += 1
+    assert ar.all_finished
+    dense, dense_cfg, meta = export_subnet(p, ar, space, cfg, fuse=True)
+    assert dense_cfg.embed_dim <= cfg.embed_dim
+
+    # finetune one epoch on the exported model
+    sched = make_schedule(1e-4, ScheduleConfig(warmup_epochs=0),
+                          steps_per_epoch * 2, steps_per_epoch)
+    ftx = build_finetune_optimizer(dense, lr_schedule=sched,
+                                   layer_decay=0.95, num_layers=2)
+    fstate = TrainState(step=jnp.asarray(0, jnp.int32), params=dense,
+                        alphas=None, arch=None, opt_state=ftx.init(dense))
+    fstep = make_train_step(dense_cfg, ftx, num_classes=10,
+                            mixup_cfg=MixupConfig(mixup=0.8, cutmix=1.0),
+                            compute_dtype=jnp.float32)
+    loader2 = make_epoch_loader(ds, epoch=1, rank=0, world=1, batch_size=8,
+                                repeated_aug=False, train=True)
+    feed2 = device_feed(loader2, rng=jax.random.PRNGKey(3), train=True,
+                        accum_iter=1, out_size=32)
+    for imgs, lbls in feed2:
+        fstate, m = fstep(fstate, imgs, lbls, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))
+
+    # dense eval works
+    ev = make_eval_step_dense(dense_cfg, compute_dtype=jnp.float32)
+    vloader = make_epoch_loader(ds, epoch=0, rank=0, world=1, batch_size=8,
+                                repeated_aug=False, train=False)
+    vfeed = device_feed(vloader, rng=jax.random.PRNGKey(5), train=False,
+                        accum_iter=1, out_size=32)
+    stats = evaluate(ev, vfeed, fstate.params, print_fn=lambda *a, **k: None)
+    assert 0.0 <= stats["acc1"] <= 100.0
+
+
+def test_multihost_identical_compress_decisions():
+    """SURVEY §5.2: every host must make identical prune decisions. With
+    replicated inputs the host-side compress is deterministic — same arrays
+    in, same arrays out, regardless of call count."""
+    bundle = make_bundle()
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    a = np.array(alphas["embed"])
+    a[0] = -9.0
+    alphas["embed"] = jnp.asarray(a)
+    out1 = compress(params, alphas, arch, None, bundle.space, 0.2)
+    out2 = compress(params, alphas, arch, None, bundle.space, 0.2)
+    np.testing.assert_array_equal(np.asarray(out1[2].embed.switch),
+                                  np.asarray(out2[2].embed.switch))
+    assert out1[4].events == out2[4].events

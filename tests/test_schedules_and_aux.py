@@ -1,0 +1,123 @@
+"""Schedules (tanh/step/plateau), decompress, file-list data, checkpointing,
+EMA semantics, moment surgery."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from ofb_tpu.config import OptimFamilyConfig, ScheduleConfig
+from ofb_tpu.core.compress import compress, decompress, update_w_p
+from ofb_tpu.core.optim import (PlateauTracker, build_search_optimizer,
+                                make_schedule, tanh_schedule,
+                                zero_adam_moments)
+from ofb_tpu.data.file_list import ForeverDataIterator, ImageList, \
+    parse_image_list
+from ofb_tpu.models.mim_vit import init_alphas, init_mim_params
+from ofb_tpu.models.search_space import ArchState, SearchSpace
+from ofb_tpu.models.vit import ModelCfg
+
+
+CFG = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
+               depth=1, num_heads=2, mlp_ratio=2.0)
+
+
+def tiny():
+    space = SearchSpace.build(32, 1, 2, CFG.hidden, CFG.num_patches,
+                              patch_search=True)
+    params = init_mim_params(jax.random.PRNGKey(0), CFG, space)
+    alphas = init_alphas(jax.random.PRNGKey(1), space)
+    return space, params, alphas, ArchState.create(space)
+
+
+def test_tanh_schedule_shape():
+    sched = ScheduleConfig(sched="tanh", warmup_lr=1e-6, min_lr=1e-5,
+                           warmup_epochs=1)
+    fn = make_schedule(1e-3, sched, total_steps=110, steps_per_epoch=10)
+    assert float(fn(0)) == pytest.approx(1e-6)
+    assert float(fn(10)) == pytest.approx(1e-3, rel=1e-3)
+    # decays monotonically towards min_lr
+    vals = [float(fn(t)) for t in range(10, 111, 20)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[-1] < 2e-4
+
+
+def test_plateau_tracker():
+    pt = PlateauTracker(patience=2, decay_rate=0.5, mode="max")
+    for acc in (10.0, 11.0, 11.0, 11.0):
+        s = pt.update(acc)
+    assert s == 1.0             # only 2 bad epochs so far (<= patience)
+    s = pt.update(11.0)         # 3rd bad epoch > patience -> decay
+    assert s == 0.5
+
+
+def test_decompress_reopens_unconverged():
+    space, params, alphas, arch = tiny()
+    # converge embed
+    a = np.full(np.asarray(alphas["embed"]).shape, -8.0, np.float32)
+    a[4] = 8.0
+    alphas["embed"] = jnp.asarray(a)
+    p, al, ar, _, rep = compress(params, alphas, arch, None, space, 0.2)
+    assert bool(ar.embed.finished)
+    # single-cell module stays finished after decompress; the patch dim
+    # (still multi-cell) reopens
+    reopened = decompress(ar)
+    assert bool(reopened.embed.finished)       # one active cell left
+    assert not bool(reopened.patch.finished)
+
+
+def test_update_w_p_freezes_finished():
+    space, params, alphas, arch = tiny()
+    a = np.full(np.asarray(alphas["embed"]).shape, -8.0, np.float32)
+    a[4] = 8.0
+    alphas["embed"] = jnp.asarray(a)
+    _, _, ar, _, _ = compress(params, alphas, arch, None, space, 0.2)
+    w_before = float(ar.embed.w_p)
+    ar2 = update_w_p(ar, 10.0, 20.0)
+    assert float(ar2.embed.w_p) == w_before           # finished: frozen
+    assert float(ar2.blocks[0].mlp.w_p) != 0.99        # unfinished: annealed
+
+
+def test_zero_adam_moments_paths():
+    params = {"a": jnp.ones(3), "b": {"score": jnp.ones(2)}}
+    tx = optax.adam(1e-3)
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, st = tx.update(g, st, params)
+    st2 = zero_adam_moments(st, lambda p: "score" in p)
+    adam = [s for s in st2 if isinstance(s, optax.ScaleByAdamState)][0]
+    assert float(jnp.abs(adam.mu["b"]["score"]).max()) == 0.0
+    assert float(jnp.abs(adam.mu["a"]).max()) > 0.0
+
+
+def test_parse_image_list_and_forever_iterator(tmp_path):
+    f = tmp_path / "list.txt"
+    f.write_text("a/img1.jpg 3\nb/img2.jpg 7\n")
+    samples = parse_image_list(str(f), root="/data")
+    assert samples == [("/data/a/img1.jpg", 3), ("/data/b/img2.jpg", 7)]
+
+    batches = [[1, 2], [3, 4]]
+    it = ForeverDataIterator(lambda epoch: iter(batches))
+    got = [next(it) for _ in range(5)]
+    assert got == [[1, 2], [3, 4], [1, 2], [3, 4], [1, 2]]
+    assert it.epoch == 2
+
+
+def test_checkpoint_roundtrip_with_arch(tmp_path):
+    from ofb_tpu.core import checkpoint as ckpt
+    space, params, alphas, arch = tiny()
+    d = str(tmp_path / "c")
+    ckpt.save_checkpoint(d, params=params, alphas=alphas, arch=arch,
+                         meta={"epoch": 5})
+    p2 = init_mim_params(jax.random.PRNGKey(42), CFG, space)
+    a2 = init_alphas(jax.random.PRNGKey(43), space)
+    r = ckpt.load_checkpoint(d, params=p2, alphas=a2,
+                             arch=ArchState.create(space))
+    assert r["meta"]["epoch"] == 5
+    np.testing.assert_array_equal(np.asarray(r["alphas"]["embed"]),
+                                  np.asarray(alphas["embed"]))
+    np.testing.assert_array_equal(np.asarray(r["arch"].embed.hard_mask),
+                                  np.asarray(arch.embed.hard_mask))
