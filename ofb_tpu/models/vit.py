@@ -52,6 +52,8 @@ class ModelCfg:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     ln_eps: float = 1e-6
+    remat: bool = False     # jax.checkpoint each block (memory for FLOPs;
+                            # lets DeiT-B search run at large batch)
     # Exported OFB subnets prune each block independently, so head count /
     # head width / MLP hidden may differ per block (the reference mutates
     # per-module shapes in `intersect`, finetune.py:182-249). Tuple of
@@ -209,10 +211,7 @@ def _attend(q, k, v, scale, *, train=False, attn_drop=0.0, rng=None):
         attn = dropout(attn, attn_drop, rng, train)
         return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
     from ..ops.pallas_attention import fused_mha
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    return fused_mha(qt, kt, vt, scale).transpose(0, 2, 1, 3)
+    return fused_mha(q, k, v, scale)   # native (B, N, H, hd) layout
 
 
 def attention(p: Params, x: jnp.ndarray, *, num_heads: int, scale,
@@ -299,8 +298,16 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: ModelCfg, *,
     tok = dropout(tok, cfg.drop_rate, rngs[-1], train)
     for i, (bp, dp) in enumerate(zip(params["blocks"],
                                      cfg.drop_path_schedule())):
-        tok = block_forward(bp, tok, cfg, dp, train=train, rng=rngs[i],
-                            block_idx=i)
+        fwd = block_forward
+        if cfg.remat:
+            fwd = jax.checkpoint(
+                lambda p, t, _cfg=cfg, _dp=dp, _i=i, _r=rngs[i]:
+                block_forward(p, t, _cfg, _dp, train=train, rng=_r,
+                              block_idx=_i))
+            tok = fwd(bp, tok)
+        else:
+            tok = block_forward(bp, tok, cfg, dp, train=train, rng=rngs[i],
+                                block_idx=i)
     tok = layer_norm(tok, params["norm"]["scale"], params["norm"]["bias"],
                      eps=cfg.ln_eps)
 

@@ -6,14 +6,19 @@ cell per (batch, head) computes scores -> softmax -> p@v in a single fused
 pass, keeping the N x N score matrix out of HBM entirely. The backward pass
 recomputes the softmax (flash-style) and emits dq/dk/dv in one kernel.
 
-This replaces the attention inner loop of reference models/layers.py:
-382-394 / 488-537 (the q@k / softmax / attn@v chain that torch materializes
-through HBM each step). Gates and the (possibly traced) softmax scale are
-applied to q/k/v *before* the kernel, so the same scale-free kernel serves
-dense and bi-mask-gated attention.
+This covers the attention inner loop of reference models/layers.py:382-394
+/ 488-537 (the q@k / softmax / attn@v chain that torch materializes through
+HBM each step). Gates and the (possibly traced) softmax scale are applied
+to q/k/v *before* the kernel, so the same scale-free kernel serves dense
+and bi-mask-gated attention.
 
-Falls back to a pure-jnp implementation off-TPU (and under
-OFB_DISABLE_PALLAS=1).
+Status: OPT-IN (OFB_PALLAS_ATTN=1). Measured on v5e, XLA's own fused
+attention is slightly faster at ViT shapes once the (B,N,H,d)->(B,H,N,d)
+layout transposes are counted (1613 vs 1516 img/s on the DeiT-S search
+step, batch 256); Mosaic rejects block specs that would avoid the
+transposes (trailing block dims must be 8/128-multiples or full). The
+kernel is kept correct and tested for shapes where flash-style fusion wins
+(longer sequences / larger models).
 """
 
 from __future__ import annotations
@@ -24,7 +29,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -35,7 +39,7 @@ except Exception:                                     # pragma: no cover
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("OFB_DISABLE_PALLAS") == "1":
+    if os.environ.get("OFB_PALLAS_ATTN") != "1":
         return False
     if not _HAS_PALLAS:
         return False
@@ -46,21 +50,23 @@ def _use_pallas() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# reference jnp path (q pre-scaled)
+# reference jnp path ((B, N, H, d) layout, q pre-scaled)
 # ---------------------------------------------------------------------------
 
 def _mha_reference_prescaled(q, k, v):
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v)
 
 
 # ---------------------------------------------------------------------------
-# pallas kernels (one (batch, head) per grid cell; scores live in VMEM only)
+# pallas kernels: (B, H, N, d) blocks, one (batch, head) per grid cell
+# (Mosaic needs the trailing two block dims full or 8/128-aligned, so the
+# head axis must be a leading grid axis)
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0, 0]                                       # (N, d)
+    q = q_ref[0, 0]                                    # (N, d)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -148,10 +154,13 @@ _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 
 def fused_mha(q, k, v, scale, *, force: Optional[bool] = None,
               interpret: bool = False):
-    """Fused softmax attention over (B, H, N, d); `scale` may be traced
-    (it is folded into q, so the kernel itself is scale-free)."""
+    """Softmax attention over (B, N, H, d) — the model's native layout;
+    `scale` may be traced (folded into q; the kernel is scale-free)."""
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     use = _use_pallas() if force is None else force
     if not use:
         return _mha_reference_prescaled(q, k, v)
-    return _mha_pallas(q, k, v, interpret)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    return _mha_pallas(qt, kt, vt, interpret).transpose(0, 2, 1, 3)

@@ -58,6 +58,8 @@ def get_args_parser():
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--mixup-prob", type=float, default=1.0)
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    p.add_argument("--teacher-model", default="deit_base_patch16_224")
+    p.add_argument("--teacher-path", default="", type=str)
     p.add_argument("--distillation-type", default="none",
                    choices=["none", "soft", "hard"])
     p.add_argument("--distillation-alpha", default=0.5, type=float)
@@ -226,10 +228,33 @@ def main(args):
                       prob=args.mixup_prob,
                       switch_prob=args.mixup_switch_prob,
                       label_smoothing=args.smoothing)
+    teacher_apply = None
+    distill = DistillationConfig(distillation_type=args.distillation_type,
+                                 alpha=args.distillation_alpha,
+                                 tau=args.distillation_tau)
+    if args.distillation_type != "none":
+        import torch
+        from ofb_tpu.models.registry import create_model
+        from ofb_tpu.models.torch_import import torch_state_dict_to_params
+        tbundle = create_model(getattr(args, "teacher_model",
+                                       "deit_base_patch16_224"),
+                               num_classes=nb_classes)
+        tparams = tbundle.init(jax.random.PRNGKey(7))
+        if getattr(args, "teacher_path", ""):
+            tsd = torch.load(args.teacher_path, map_location="cpu")
+            tparams = torch_state_dict_to_params(tsd.get("model", tsd),
+                                                 tbundle.cfg, tparams)
+        tparams = replicate(mesh, tparams)
+
+        def teacher_apply(images, _tb=tbundle, _tp=tparams):
+            return _tb.apply(_tp, images, train=False,
+                             compute_dtype=compute)
+
     step_fn = make_train_step(cfg, tx, num_classes=nb_classes,
                               mixup_cfg=mix, smoothing=args.smoothing,
                               ema_decay=args.model_ema_decay
                               if args.model_ema else None,
+                              teacher_apply=teacher_apply, distill=distill,
                               compute_dtype=compute)
     eval_step = make_eval_step_dense(cfg, compute_dtype=compute)
     logger = RunLogger(args.output_dir)

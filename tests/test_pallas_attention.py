@@ -12,7 +12,7 @@ from ofb_tpu.ops.pallas_attention import (_mha_pallas,
 
 def _rand_qkv(key, B=2, H=3, N=24, d=16, dtype=jnp.float32):
     ks = jax.random.split(key, 3)
-    return [jax.random.normal(k, (B, H, N, d), dtype) * 0.5 for k in ks]
+    return [jax.random.normal(k, (B, N, H, d), dtype) * 0.5 for k in ks]
 
 
 def test_forward_matches_reference():
