@@ -31,3 +31,15 @@ Package map:
 """
 
 __version__ = "0.1.0"
+
+# Convenience API (lazy to keep bare import light)
+
+
+def create_model(name, **kwargs):
+    from .models.registry import create_model as _cm
+    return _cm(name, **kwargs)
+
+
+def list_models():
+    from .models.registry import list_models as _lm
+    return _lm()

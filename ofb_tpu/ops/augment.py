@@ -59,20 +59,22 @@ def _sample_crop_box(rng, H, W, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
 def random_resized_crop(rng, img: jnp.ndarray, out_size: int,
                         scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
                         ) -> jnp.ndarray:
-    """img (H, W, C) float -> (out, out, C), bilinear."""
+    """img (H, W, C) float -> (out, out, C), bilinear.
+
+    Uses jax.image.scale_and_translate (separable resampling lowered to
+    matmul-like ops — TPU-friendly) instead of per-channel gather
+    interpolation."""
     H, W, C = img.shape
     y0, x0, h, w = _sample_crop_box(rng, H, W, scale, ratio)
-    # map output grid to source coords
-    ys = y0 + (jnp.arange(out_size) + 0.5) * (h / out_size) - 0.5
-    xs = x0 + (jnp.arange(out_size) + 0.5) * (w / out_size) - 0.5
-    yy = jnp.broadcast_to(ys[:, None], (out_size, out_size))
-    xx = jnp.broadcast_to(xs[None, :], (out_size, out_size))
-    coords = jnp.stack([yy, xx], 0)
-
-    def chan(c):
-        return jax.scipy.ndimage.map_coordinates(
-            img[..., c], [coords[0], coords[1]], order=1, mode="nearest")
-    return jnp.stack([chan(c) for c in range(C)], axis=-1)
+    # scale_and_translate samples in[(o + .5 - t)/s - .5]; we want
+    # out[o] = in[y0 + (o + .5) * h/out - .5]  =>  s = out/h, t = -y0 * s
+    sy = out_size / h
+    sx = out_size / w
+    ty = -y0 * sy
+    tx = -x0 * sx
+    return jax.image.scale_and_translate(
+        img, (out_size, out_size, C), (0, 1),
+        jnp.stack([sy, sx]), jnp.stack([ty, tx]), method="linear")
 
 
 def center_crop_resize(img: jnp.ndarray, out_size: int,
@@ -152,23 +154,85 @@ def autocontrast(img):
     return jnp.where(hi > lo, jnp.clip(out, 0, 255), img)
 
 
+EQ_KNOTS = 16
+
+
 def equalize(img):
-    """Per-channel histogram equalization (PIL semantics)."""
-    def chan(c):
-        x = jnp.clip(img[..., c].astype(jnp.int32), 0, 255).reshape(-1)
-        hist = jnp.bincount(x, length=256)
-        cum = jnp.cumsum(hist)
-        # standard cdf mapping: lut[i] = round(cdf(i) * 255)
-        cdf = cum / jnp.maximum(cum[-1], 1)
-        lut = jnp.round(cdf * 255.0)
-        return jnp.take(lut, jnp.clip(img[..., c].astype(jnp.int32), 0, 255))
-    return jnp.stack([chan(c) for c in range(img.shape[-1])],
-                     axis=-1).astype(jnp.float32)
+    """Per-channel histogram equalization as a piecewise-linear CDF map.
+
+    Exact PIL equalize needs a 256-bin histogram (scatter) plus a per-pixel
+    LUT lookup (gather) — both pathological on TPU (~600 ms/batch measured).
+    Instead: estimate 17 quantile knots per channel from a strided pixel
+    sample (one small batched sort), then map every pixel through the
+    monotone piecewise-linear CDF with vectorized clip/sum — no gathers or
+    scatters. Visually equivalent (cdf(x) agrees at the knots; segments are
+    linearly interpolated)."""
+    H, W, C = img.shape
+    sub = img[::4, ::4, :].reshape(-1, C)                 # (S, C) sample
+    qs = jnp.sort(sub, axis=0)                            # (S, C)
+    S = qs.shape[0]
+    # knot intensities at ranks j/K, j = 0..K
+    ranks = jnp.clip((jnp.arange(EQ_KNOTS + 1) * (S - 1)) // EQ_KNOTS,
+                     0, S - 1)
+    knots = qs[ranks]                                     # (K+1, C)
+    x = img.reshape(-1, 1, C)                             # (P, 1, C)
+    lo = knots[:-1].reshape(1, EQ_KNOTS, C)
+    hi = knots[1:].reshape(1, EQ_KNOTS, C)
+    seg = jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-5), 0.0, 1.0)
+    cdf = jnp.sum(seg, axis=1) / EQ_KNOTS                 # (P, C)
+    return (cdf * 255.0).reshape(H, W, C)
 
 
 # ---------------------------------------------------------------------------
 # Geometric: one composed affine warp
 # ---------------------------------------------------------------------------
+
+def bilinear_sample(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                    fill: float = 128.0) -> jnp.ndarray:
+    """Bilinear sample img (H, W, C) at float coords (sy, sx) of shape
+    (Ho, Wo); out-of-bounds -> fill.
+
+    Corner packing: the four bilinear taps of pixel (y, x) are rows
+    (y, x), (y, x+1), (y+1, x), (y+1, x+1). We pre-build a packed array
+    whose row i = concat of those four neighbors of pixel i (via cheap
+    roll shifts), so ONE gather of a 4C-wide row fetches all taps —
+    4x fewer gather descriptors and wider rows than per-tap gathers."""
+    H, W, C = img.shape
+    # neighbors via rolls (wrap rows are masked below via the oob check)
+    imgh = img.astype(jnp.bfloat16)       # 0..255 integers exact in bf16
+    xp = jnp.roll(imgh, -1, axis=1)
+    yp = jnp.roll(imgh, -1, axis=0)
+    xyp = jnp.roll(xp, -1, axis=0)
+    packed = jnp.concatenate([imgh, xp, yp, xyp], axis=-1)    # (H, W, 4C)
+    flat = packed.reshape(H * W, 4 * C)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    idx = (y0i * W + x0i).reshape(-1)
+    rows = jnp.take(flat, idx, axis=0).astype(jnp.float32).reshape(
+        *sy.shape, 4, C)
+    v00, v01, v10, v11 = (rows[..., 0, :], rows[..., 1, :],
+                          rows[..., 2, :], rows[..., 3, :])
+
+    # out-of-bounds handling per tap (the roll wrap-around is also oob)
+    def oob(yi, xi):
+        return ((yi < 0) | (yi >= H) | (xi < 0) | (xi >= W))[..., None]
+
+    yf = y0.astype(jnp.int32)
+    xf = x0.astype(jnp.int32)
+    v00 = jnp.where(oob(yf, xf), fill, v00)
+    v01 = jnp.where(oob(yf, xf + 1), fill, v01)
+    v10 = jnp.where(oob(yf + 1, xf), fill, v10)
+    v11 = jnp.where(oob(yf + 1, xf + 1), fill, v11)
+
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
 
 def affine_warp(img: jnp.ndarray, mat: jnp.ndarray,
                 fill: float = 128.0) -> jnp.ndarray:
@@ -182,11 +246,7 @@ def affine_warp(img: jnp.ndarray, mat: jnp.ndarray,
     xx = jnp.broadcast_to(xs[None, :], (H, W))
     sx = mat[0, 0] * xx + mat[0, 1] * yy + mat[0, 2] + cx
     sy = mat[1, 0] * xx + mat[1, 1] * yy + mat[1, 2] + cy
-
-    def chan(c):
-        return jax.scipy.ndimage.map_coordinates(
-            img[..., c], [sy, sx], order=1, mode="constant", cval=fill)
-    return jnp.stack([chan(c) for c in range(C)], axis=-1)
+    return bilinear_sample(img, sy, sx, fill)
 
 
 def _compose(m1, m2):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -45,7 +46,6 @@ def norm_targets(targets: jnp.ndarray, patch_size: int = 47) -> jnp.ndarray:
     x = targets.astype(jnp.float32)
     # in-bounds element count per window position — analytic (avoids a
     # multi-second XLA constant-fold of reduce_window over a ones tensor)
-    import numpy as np
     H, W = x.shape[1], x.shape[2]
     half = patch_size // 2
     def axis_counts(n):
