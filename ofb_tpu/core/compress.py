@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.search_space import (ArchState, AttnArch, AttnSpace, DimArch,
-                                   DimSpace, PatchArch, SearchSpace)
+                                   DimSpace, SearchSpace)
 from .optim import zero_adam_moments
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Tuple
 
 import numpy as np
 import jax
@@ -21,7 +21,7 @@ from ..config import SearchConfig
 from ..models.search_space import SearchSpace
 from ..utils.logging import master_print
 from ..utils.metrics import MetricLogger
-from .compress import CompressReport, compress, update_w_p
+from .compress import compress, update_w_p
 from .steps import TrainState
 
 

@@ -19,7 +19,7 @@ supernet's eval forward — verified in tests/test_export.py.
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from ..models.search_space import ArchState, SearchSpace
 from ..models.vit import ModelCfg
 from ..ops.flops import flops_loss
 from ..ops.gates import masked_softmax
-from ..ops import gates as G
 
 
 # ---------------------------------------------------------------------------

@@ -25,8 +25,7 @@ models/layers.py:280,633,943,247) — see `zero_adam_moments`.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ per run):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ from ..config import SearchConfig
 from ..models.mim_vit import mim_forward
 from ..models.search_space import ArchState, SearchSpace
 from ..models.vit import ModelCfg, vit_forward
-from ..ops.mixup import mixup_cutmix, one_hot_smooth
+from ..ops.mixup import mixup_cutmix
 from . import losses as L
 
 

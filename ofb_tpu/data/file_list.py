@@ -9,9 +9,7 @@ users of those utilities have a drop-in surface.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import List, Tuple
 
 
 def parse_image_list(list_path: str, root: str = ""

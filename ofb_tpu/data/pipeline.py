@@ -13,14 +13,12 @@ reference engine.py:97-98).
 from __future__ import annotations
 
 import collections
-import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import DataConfig
 from ..ops.augment import eval_preprocess_batch, train_augment_batch
 from .samplers import distributed_indices, epoch_batches, ra_indices
 

@@ -8,8 +8,6 @@ samplers.py:8-59 RASampler, torch DistributedSampler usage search.py:441-457)
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 

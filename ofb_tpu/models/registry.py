@@ -11,7 +11,7 @@ callables — the functional equivalent of an nn.Module instance.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 

@@ -29,8 +29,8 @@ Physical slicing is deferred to export (core/export.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ TPU-native equivalents of the reference's SimMIM-style machinery:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
