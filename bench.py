@@ -59,7 +59,7 @@ def main():
         compute = jnp.float32
     else:
         bundle = create_model("deit_small_patch16_224_mim", patch_search=True)
-        batch = args.batch or 128
+        batch = args.batch or 256
         compute = jnp.bfloat16
 
     key = jax.random.PRNGKey(0)

@@ -131,10 +131,16 @@ def _cell_loss(alpha: jnp.ndarray, switch: jnp.ndarray, *, entropy: bool,
     return jnp.where(n_active > 1.0, loss, 0.0)
 
 
-def _score_norm_1d(score, restore_mask, w_p, weight: float) -> jnp.ndarray:
-    """Score L1 term: sum(sigmoid(score)) * weight
-    (reference base_model.py:72-78 via get_weight -> prob_score)."""
-    return jnp.sum(jax.nn.sigmoid(score.astype(jnp.float32))) * weight
+def _score_norm(score, hard_mask, weight: float) -> jnp.ndarray:
+    """Score L1 term: sum(sigmoid(score)) over *surviving* dims * weight
+    (reference base_model.py:72-78 sums prob_score of the physically-sliced
+    score tensor, so hard-trimmed channels are excluded). `score` may be a
+    broadcast shape like (H,1)/(1,d); the hard mask is reduced to match."""
+    w = hard_mask
+    for ax in range(score.ndim):
+        if score.shape[ax] == 1 and w.shape[ax] != 1:
+            w = jnp.max(w, axis=ax, keepdims=True)
+    return jnp.sum(jax.nn.sigmoid(score.astype(jnp.float32)) * w) * weight
 
 
 def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
@@ -156,8 +162,8 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
         if norm:
             l = l + jnp.where(
                 jnp.sum(arch.embed.switch) > 1,
-                _score_norm_1d(params["patch_embed"]["score"], None,
-                               arch.embed.w_p, 1e-4), 0.0)
+                _score_norm(params["patch_embed"]["score"],
+                            arch.embed.hard_mask, 1e-4), 0.0)
         loss_embed = loss_embed + l
 
     loss_attn = zero
@@ -170,9 +176,8 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
             if norm:
                 l = l + jnp.where(
                     jnp.sum(ba.attn.switch) > 1,
-                    jnp.sum(jax.nn.sigmoid(
-                        params["blocks"][i]["attn"]["score"].astype(
-                            jnp.float32))) * 4e-4, 0.0)
+                    _score_norm(params["blocks"][i]["attn"]["score"],
+                                ba.attn.hard_mask, 4e-4), 0.0)
             loss_attn = loss_attn + l
         if bs.mlp.searchable:
             l = _cell_loss(alphas["blocks"][i]["mlp"], ba.mlp.switch,
@@ -180,9 +185,8 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
             if norm:
                 l = l + jnp.where(
                     jnp.sum(ba.mlp.switch) > 1,
-                    jnp.sum(jax.nn.sigmoid(
-                        params["blocks"][i]["mlp"]["score"].astype(
-                            jnp.float32))) * 1e-4, 0.0)
+                    _score_norm(params["blocks"][i]["mlp"]["score"],
+                                ba.mlp.hard_mask, 1e-4), 0.0)
             loss_mlp = loss_mlp + l
     return {"attn": loss_attn, "mlp": loss_mlp, "patch": loss_patch,
             "embed": loss_embed}

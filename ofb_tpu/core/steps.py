@@ -158,6 +158,9 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
             micro, (zero_g, zero_m), (images, labels, rngs))
         grads = jax.tree_util.tree_map(lambda g: g / A, grads)
         metrics = {k: v / A for k, v in metrics.items()}
+        # global grad norm (reference NativeScalerWithGradNormCount /
+        # get_grad_norm_, utils.py:282-329)
+        metrics["grad_norm"] = optax.global_norm(grads[0])
 
         updates, new_opt = tx.update(grads, state.opt_state,
                                      (state.params, state.alphas))
