@@ -232,47 +232,104 @@ def bilinear_sample(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     return top * (1 - wy) + bot * wy
 
 
+def _resample_x(img: jnp.ndarray, scale, shift_per_row: jnp.ndarray,
+                fill: float) -> jnp.ndarray:
+    """Per-row 1-D linear resample: out[y, x] = in[y, scale*x + shift(y)].
+
+    One take_along_axis with monotone per-row indices + one shifted copy —
+    lowers ~17x faster on TPU than 2-D gather interpolation (8 vs 230 ms
+    for a 256x224x224x3 batch, measured)."""
+    H, W, C = img.shape
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    src = scale * x + shift_per_row[:, None]              # (H, W)
+    k = jnp.floor(src)
+    f = (src - k)[..., None]
+    ki = k.astype(jnp.int32)
+    oob0 = (ki < 0) | (ki >= W)
+    oob1 = (ki + 1 < 0) | (ki + 1 >= W)
+    t0 = jnp.take_along_axis(img, jnp.clip(ki, 0, W - 1)[..., None], axis=1)
+    t1 = jnp.take_along_axis(img, jnp.clip(ki + 1, 0, W - 1)[..., None],
+                             axis=1)
+    t0 = jnp.where(oob0[..., None], fill, t0)
+    t1 = jnp.where(oob1[..., None], fill, t1)
+    return t0 * (1.0 - f) + t1 * f
+
+
+def _resample_y(img: jnp.ndarray, scale, shift_per_col: jnp.ndarray,
+                fill: float) -> jnp.ndarray:
+    out = _resample_x(jnp.swapaxes(img, 0, 1), scale, shift_per_col, fill)
+    return jnp.swapaxes(out, 0, 1)
+
+
+_SHIFT_PAD = 128
+
+
+def _row_shift_frac(img: jnp.ndarray, shift: jnp.ndarray,
+                    fill: float) -> jnp.ndarray:
+    """out[y, x] = in[y, x + shift(y)] with fractional (bilinear) shift,
+    gather-free.
+
+    Per-row dynamic indices force XLA's slow gather path under vmap
+    (~45x slower, measured); instead the integer shift is decomposed into
+    8 conditional power-of-two rolls — rolls have batch-shared shifts
+    (fast lane moves) and the per-row choice is an elementwise select.
+    |shift| must be < 127 (our op set maxes at 0.45 * 224 = 101)."""
+    H, W, C = img.shape
+    shift = jnp.clip(shift, -126.0, 125.0)
+    k = jnp.floor(shift)
+    f = (shift - k)[:, None, None]
+    kp = (k.astype(jnp.int32) + _SHIFT_PAD)          # in [2, 253]
+
+    pad = jnp.full((H, _SHIFT_PAD, C), fill, img.dtype)
+    x = jnp.concatenate([pad, img, pad], axis=1)     # (H, W + 256, C)
+    x = jnp.roll(x, _SHIFT_PAD, axis=1)
+    for j in range(8):
+        bit = ((kp >> j) & 1).astype(bool)[:, None, None]
+        x = jnp.where(bit, jnp.roll(x, -(1 << j), axis=1), x)
+    s0 = x[:, _SHIFT_PAD:_SHIFT_PAD + W]
+    s1 = jnp.roll(x, -1, axis=1)[:, _SHIFT_PAD:_SHIFT_PAD + W]
+    return s0 * (1.0 - f) + s1 * f
+
+
+def _col_shift_frac(img: jnp.ndarray, shift: jnp.ndarray,
+                    fill: float) -> jnp.ndarray:
+    out = _row_shift_frac(jnp.swapaxes(img, 0, 1), shift, fill)
+    return jnp.swapaxes(out, 0, 1)
+
+
 def affine_warp(img: jnp.ndarray, mat: jnp.ndarray,
                 fill: float = 128.0) -> jnp.ndarray:
     """Apply a 2x3 inverse affine matrix (output->source coords, about the
-    image center), bilinear, constant fill (PIL fillcolor=128)."""
+    image center), bilinear, constant fill (PIL fillcolor=128).
+
+    Decomposed into two separable passes (out = Rx(Ry(in))):
+      y-pass:  y_src = g*y + rho*u + tau  (per-column shift, u = column)
+               g = m11 - m10*m01/m00, rho = m10/m00, tau = m12 - rho*m02
+      x-pass:  x_src = m00*x + m01*y + m02 (per-row shift)
+    valid while |m00| > 0; our op set (rotate <= 30deg, shear <= 0.3,
+    translate) keeps m00 >= 0.85. Each pass is a take_along_axis resample
+    (see _resample_x) instead of a 2-D gather — ~17x faster on TPU.
+    """
     H, W, C = img.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]
+    m10, m11, m12 = mat[1, 0], mat[1, 1], mat[1, 2]
+    m00s = jnp.where(jnp.abs(m00) < 0.25,
+                     jnp.where(m00 < 0, -0.25, 0.25), m00)
+
+    rho = m10 / m00s
+    g = m11 - rho * m01
+    tau = m12 - rho * m02
+
+    # y-pass first: per-column shift over the column's centered coord
     xs = jnp.arange(W, dtype=jnp.float32) - cx
-    yy = jnp.broadcast_to(ys[:, None], (H, W))
-    xx = jnp.broadcast_to(xs[None, :], (H, W))
-    sx = mat[0, 0] * xx + mat[0, 1] * yy + mat[0, 2] + cx
-    sy = mat[1, 0] * xx + mat[1, 1] * yy + mat[1, 2] + cy
-    return bilinear_sample(img, sy, sx, fill)
-
-
-def _compose(m1, m2):
-    a = jnp.concatenate([m1, jnp.array([[0.0, 0.0, 1.0]])], 0)
-    b = jnp.concatenate([m2, jnp.array([[0.0, 0.0, 1.0]])], 0)
-    return (a @ b)[:2]
-
-
-def _identity_mat():
-    return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
-
-
-def _rotate_mat(deg):
-    th = deg * math.pi / 180.0
-    c, s = jnp.cos(th), jnp.sin(th)
-    return jnp.array([[c, -s, 0.0], [s, c, 0.0]])  # inverse rotation
-
-
-def _shear_x_mat(v):
-    return jnp.array([[1.0, v, 0.0], [0.0, 1.0, 0.0]])
-
-
-def _shear_y_mat(v):
-    return jnp.array([[1.0, 0.0, 0.0], [v, 1.0, 0.0]])
-
-
-def _translate_mat(tx, ty):
-    return jnp.array([[1.0, 0.0, tx], [0.0, 1.0, ty]])
+    shift_col = rho * xs + tau + cy - g * cy
+    out = _resample_y(img, g, shift_col, fill)
+    # x-pass: per-row shift over the row's centered coord
+    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    shift_row = m01 * ys + m02 + cx - m00s * cx
+    out = _resample_x(out, m00s, shift_row, fill)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +380,6 @@ def rand_augment(rng, img: jnp.ndarray, *, magnitude: float = 9.0,
     to [0, 10] ('mstd0.5'); enhancement/geometry magnitudes use the
     '-inc1' (increasing-severity) mappings with random sign.
     """
-    geo = _identity_mat()
     for layer in range(num_layers):
         rng, k_op, k_m, k_sign, k_apply = jax.random.split(rng, 5)
         op_idx = jax.random.randint(k_op, (), 0, NUM_OPS)
@@ -334,25 +390,34 @@ def rand_augment(rng, img: jnp.ndarray, *, magnitude: float = 9.0,
         enh_factor = 1.0 + sign * frac * 0.9
         img = _apply_photo_slot(img, op_idx, frac, enh_factor, enabled)
 
-        # geometric slot: fold into the composed matrix
-        H = img.shape[0]
+        # geometric slot: pure-shear (scale-1) passes. take_along_axis with
+        # scale-1 per-row indices hits a fast lowering (~8 ms/256-batch per
+        # pass); scaled indices or 2-D gathers are 20-90x slower (measured).
+        # rotate uses the Paeth 3-shear identity
+        #   R(th) = ShearX(-tan th/2) . ShearY(sin th) . ShearX(-tan th/2)
+        H, W = img.shape[0], img.shape[1]
         geo_id = op_idx - len(_PHOTO_OPS)
-        deg = sign * frac * 30.0
+        on = enabled.astype(jnp.float32)
+        th = sign * frac * (30.0 * math.pi / 180.0)
         shear = sign * frac * 0.3
-        trans = sign * frac * 0.45 * H
-        mats = [
-            _rotate_mat(deg),
-            _shear_x_mat(shear),
-            _shear_y_mat(shear),
-            _translate_mat(trans, 0.0),
-            _translate_mat(0.0, trans),
-        ]
-        sel = _identity_mat()
-        for i, mt in enumerate(mats):
-            sel = jnp.where((geo_id == i) & enabled, mt, sel)
-        geo = _compose(sel, geo)
+        trans = sign * frac * 0.45
 
-    return affine_warp(img, geo)
+        is_rot = on * (geo_id == 0)
+        sx1 = is_rot * -jnp.tan(th / 2.0) + on * (geo_id == 1) * shear
+        sy_s = is_rot * jnp.sin(th) + on * (geo_id == 2) * shear
+        sx2 = is_rot * -jnp.tan(th / 2.0)
+        tx = on * (geo_id == 3) * trans * W
+        ty = on * (geo_id == 4) * trans * H
+
+        cy = (H - 1) / 2.0
+        cx = (W - 1) / 2.0
+        ys = jnp.arange(H, dtype=jnp.float32) - cy
+        xs = jnp.arange(W, dtype=jnp.float32) - cx
+        img = _row_shift_frac(img, sx1 * ys + tx, 128.0)
+        img = _col_shift_frac(img, sy_s * xs + ty, 128.0)
+        img = _row_shift_frac(img, sx2 * ys, 128.0)
+
+    return img
 
 
 # ---------------------------------------------------------------------------
