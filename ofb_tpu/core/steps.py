@@ -69,12 +69,19 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
                      tx: optax.GradientTransformation, *, phase: str,
                      param_mask=None, alpha_mask=None,
                      teacher_apply: Optional[Callable] = None,
-                     compute_dtype=jnp.bfloat16, donate: bool = True):
+                     compute_dtype=jnp.bfloat16, donate: bool = True,
+                     fused_augment: bool = False, use_randaug: bool = True,
+                     re_prob: float = 0.25):
     """Build the jitted search-phase train step.
 
     Returns step(state, images (A,mb,H,W,C), labels (A,mb), rng, keep_ratio)
     -> (state, metrics). A = accum_iter microbatches per optimizer update
     (reference run_exp.sh:11-13 eff. batch = batch x ranks x accum).
+
+    fused_augment: images are raw uint8 staging batches (A, mb, S, S, 3)
+    and the full train transform (ops/augment.py) runs inside the same XLA
+    program as the step — one dispatch per batch, no separate augment
+    round-trip.
     """
     assert phase in ("search", "postsearch")
     use_mim = phase == "search"
@@ -82,6 +89,11 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
 
     def loss_fn(params, alphas, arch, images, labels, rng, keep_ratio):
         rng_m, rng_fwd, rng_mix = jax.random.split(rng, 3)
+        if fused_augment:
+            from ..ops.augment import train_augment_batch
+            images = train_augment_batch(
+                rng_m, images, out_size=mcfg.img_size,
+                use_randaug=use_randaug, re_prob=re_prob)
         soft = False
         if phase == "postsearch":
             # finish_search transition enables Mixup(0.8)/CutMix(1.0) and

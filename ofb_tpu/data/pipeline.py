@@ -83,17 +83,23 @@ def make_epoch_loader(dataset, *, epoch: int, rank: int, world: int,
 def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
                 accum_iter: int = 1, out_size: int = 224,
                 use_randaug: bool = True, re_prob: float = 0.25,
-                batch_sharding=None, prefetch: int = 2
+                batch_sharding=None, prefetch: int = 2, raw: bool = False
                 ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Yields device-resident (images (A, mb, H, W, 3) float32, labels
-    (A, mb)) with augmentation already applied, `prefetch` batches ahead."""
+    (A, mb)) with augmentation already applied, `prefetch` batches ahead.
+
+    raw=True skips the augment dispatch and yields uint8 staging batches —
+    for steps built with fused_augment=True, where the transform runs
+    inside the train-step program."""
 
     def produce():
         nonlocal rng
         for imgs_u8, lbls in loader:
             rng, sub = jax.random.split(rng)
             x = jnp.asarray(imgs_u8)
-            if train:
+            if raw:
+                pass
+            elif train:
                 x = train_augment_batch(sub, x, out_size=out_size,
                                         use_randaug=use_randaug,
                                         re_prob=re_prob)

@@ -116,6 +116,10 @@ def get_args_parser():
     p.add_argument("--vis-score", action="store_true")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--fused-augment", action="store_true", default=True,
+                   help="run the train transform inside the train-step jit")
+    p.add_argument("--no-fused-augment", action="store_false",
+                   dest="fused_augment")
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true",
                    help="tiny model/images for smoke tests")
@@ -312,7 +316,10 @@ def main(args):
         return make_search_step(space, cfg, scfg, tx, phase=phase,
                                 param_mask=pmask, alpha_mask=amask,
                                 teacher_apply=teacher_apply,
-                                compute_dtype=compute, donate=False)
+                                compute_dtype=compute, donate=False,
+                                fused_augment=args.fused_augment,
+                                use_randaug=bool(args.aa),
+                                re_prob=args.reprob)
 
     step_fn = build_step("postsearch" if finish_search else "search")
     eval_step = make_eval_step(space, cfg, compute_dtype=compute)
@@ -344,7 +351,7 @@ def main(args):
         feed = device_feed(loader, rng=feed_rng, train=True,
                            accum_iter=scfg.accum_iter, out_size=out_size,
                            use_randaug=bool(args.aa), re_prob=args.reprob,
-                           batch_sharding=bsh)
+                           batch_sharding=bsh, raw=args.fused_augment)
 
         was_finished = finish_search
         state, train_stats, finish_search, pruned = search_one_epoch(
