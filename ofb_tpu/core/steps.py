@@ -71,7 +71,7 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
                      teacher_apply: Optional[Callable] = None,
                      compute_dtype=jnp.bfloat16, donate: bool = True,
                      fused_augment: bool = False, use_randaug: bool = True,
-                     re_prob: float = 0.25):
+                     re_prob: float = 0.25, fused_model: bool = False):
     """Build the jitted search-phase train step.
 
     Returns step(state, images (A,mb,H,W,C), labels (A,mb), rng, keep_ratio)
@@ -105,7 +105,7 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
                 label_smoothing=scfg.mixup.label_smoothing)
             soft = True
         out = mim_forward(params, alphas, arch, images, mcfg, space,
-                          train=True, use_mim=use_mim,
+                          train=True, use_mim=use_mim, fused=fused_model,
                           keep_ratio=keep_ratio, rng=rng_fwd,
                           compute_dtype=compute_dtype)
         if out.logits_dist is not None:
@@ -320,8 +320,9 @@ def make_eval_step_dense(mcfg: ModelCfg, *, compute_dtype=jnp.bfloat16):
 def _cls_metrics(logits, labels):
     loss = L.cross_entropy(logits, labels)
     top1 = jnp.sum((jnp.argmax(logits, -1) == labels))
+    k = min(5, logits.shape[-1])
     top5 = jnp.sum(jnp.any(
-        jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1))
+        jax.lax.top_k(logits, k)[1] == labels[:, None], axis=-1))
     return {"loss_sum": loss * labels.shape[0],
             "top1": top1.astype(jnp.float32),
             "top5": top5.astype(jnp.float32),

@@ -139,6 +139,23 @@ for _size in ("tiny", "small", "base"):
             _REGISTRY[f"deit_{_size}_patch16_{_img}_finetune"] = \
                 _REGISTRY[f"deit_{_size}_patch16_{_img}"]
 
+def add_search_params(bundle: ModelBundle, *, attn_search=True,
+                      mlp_search=True, embed_search=True, patch_search=True,
+                      head_search=False, channel_search=False,
+                      mask_ratio=1.0) -> ModelBundle:
+    """Turn a dense bundle into a searchable MIM bundle
+    (reference models/model.py:274-283 `add_search_params`)."""
+    cfg = bundle.cfg
+    space = SearchSpace.build(
+        cfg.embed_dim, cfg.depth, cfg.num_heads, cfg.hidden,
+        cfg.num_patches, attn_search=attn_search, mlp_search=mlp_search,
+        embed_search=embed_search, patch_search=patch_search,
+        head_search=head_search, channel_search=channel_search,
+        mask_ratio=mask_ratio)
+    return ModelBundle(name=bundle.name + "_mim", cfg=cfg, kind="mim",
+                       space=space)
+
+
 # stock ViT variants (reference models/vision_transformer.py:1058-1310)
 _VIT_DIMS = {
     "vit_small": dict(embed_dim=768, depth=8, num_heads=8, mlp_ratio=3.0),

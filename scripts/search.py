@@ -313,13 +313,17 @@ def main(args):
             return _tb.apply(_tp, images, train=False, compute_dtype=compute)
 
     def build_step(phase):
+        # stage-2 of the two-stage flow trains the *fused* supernet
+        # (reference run_exp.sh:17 resumes from model_fused.pth)
         return make_search_step(space, cfg, scfg, tx, phase=phase,
                                 param_mask=pmask, alpha_mask=amask,
                                 teacher_apply=teacher_apply,
                                 compute_dtype=compute, donate=False,
                                 fused_augment=args.fused_augment,
                                 use_randaug=bool(args.aa),
-                                re_prob=args.reprob)
+                                re_prob=args.reprob,
+                                fused_model=bool(
+                                    jax.device_get(state.arch.fused)))
 
     step_fn = build_step("postsearch" if finish_search else "search")
     eval_step = make_eval_step(space, cfg, compute_dtype=compute)
