@@ -221,6 +221,7 @@ def main(args):
     else:
         bundle = create_model(
             args.model, num_classes=nb_classes, mae=args.mae,
+            img_size=args.input_size,
             attn_search=args.attn_search, mlp_search=args.mlp_search,
             embed_search=args.embed_search, patch_search=args.patch_search,
             head_search=args.head_search, channel_search=args.channel_search,
