@@ -17,7 +17,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
-import sys
 import time
 
 import numpy as np

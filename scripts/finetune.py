@@ -19,9 +19,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
 def get_args_parser():
     p = argparse.ArgumentParser("OFB TPU finetune script", add_help=False)
     p.add_argument("--batch-size", default=128, type=int)
@@ -85,13 +82,11 @@ def load_searched_model(finetune_dir: str, args, nb_classes: int):
     """Load a searched supernet checkpoint and export the dense subnet
     (the reference's intersect, finetune.py:182-249), or load an
     already-exported dense checkpoint."""
-    import json
     import jax
-    from flax import serialization
     from ofb_tpu.core import checkpoint as ckpt
     from ofb_tpu.core.export import export_subnet
     from ofb_tpu.models.registry import create_model
-    from ofb_tpu.models.search_space import ArchState, SearchSpace
+    from ofb_tpu.models.search_space import SearchSpace
     from ofb_tpu.models.vit import ModelCfg
 
     meta = ckpt.latest_meta(finetune_dir)

@@ -15,8 +15,6 @@ Example (synthetic smoke):
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
 import sys
 import time
@@ -141,7 +139,7 @@ def main(args):
     from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
     from ofb_tpu.models.mim_vit import fuse_params
     from ofb_tpu.models.registry import ModelBundle, create_model
-    from ofb_tpu.models.search_space import ArchState, SearchSpace
+    from ofb_tpu.models.search_space import SearchSpace
     from ofb_tpu.models.vit import ModelCfg
     from ofb_tpu.ops.flops import model_flops, searched_params_count
     from ofb_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
