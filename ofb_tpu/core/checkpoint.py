@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -23,6 +24,8 @@ import numpy as np
 from flax import serialization
 
 from ..utils.logging import is_main_process
+
+_PENDING: list = []
 
 
 def _tree_to_host(tree):
@@ -32,22 +35,44 @@ def _tree_to_host(tree):
 
 def save_checkpoint(path: str, *, params, alphas=None, arch=None,
                     opt_state=None, ema_params=None,
-                    meta: Optional[Dict[str, Any]] = None) -> None:
-    """Write a checkpoint directory. Only process 0 writes."""
+                    meta: Optional[Dict[str, Any]] = None,
+                    async_write: bool = False) -> None:
+    """Write a checkpoint directory. Only process 0 writes.
+
+    async_write: device->host transfer happens synchronously (consistent
+    snapshot) but serialization + file I/O run on a background thread so
+    the train loop is not blocked (the reference blocks every epoch on
+    torch.save of the whole pickled module, search.py:711-722).
+    """
     if not is_main_process():
         return
     os.makedirs(path, exist_ok=True)
-    parts = {"params": params, "alphas": alphas, "arch": arch,
-             "opt_state": opt_state, "ema": ema_params}
-    written = []
-    for name, tree in parts.items():
-        if tree is None:
-            continue
-        with open(os.path.join(path, name + ".msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(_tree_to_host(tree)))
-        written.append(name)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"parts": written, **(meta or {})}, f, indent=2)
+    parts = {name: _tree_to_host(tree) for name, tree in
+             (("params", params), ("alphas", alphas), ("arch", arch),
+              ("opt_state", opt_state), ("ema", ema_params))
+             if tree is not None}
+
+    def write():
+        tmp = path + ".tmp_meta"
+        for name, tree in parts.items():
+            with open(os.path.join(path, name + ".msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(tree))
+        with open(tmp, "w") as f:
+            json.dump({"parts": list(parts), **(meta or {})}, f, indent=2)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        _PENDING.append(t)
+    else:
+        write()
+
+
+def wait_for_pending_saves():
+    """Join outstanding async checkpoint writes (call before exit)."""
+    while _PENDING:
+        _PENDING.pop().join()
 
 
 def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,

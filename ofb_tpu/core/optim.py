@@ -235,21 +235,27 @@ def build_search_optimizer(
     cfg_param: OptimFamilyConfig, cfg_arch: OptimFamilyConfig,
     cfg_dec: OptimFamilyConfig, sched: ScheduleConfig, *,
     total_steps: int, steps_per_epoch: int,
-    clip_grad: Optional[float] = None,
+    clip_grad: Optional[float] = None, accum_iter: int = 1,
 ) -> Tuple[optax.GradientTransformation, Dict[str, optax.Schedule]]:
     """The reference's three AdamW optimizers as one multi_transform.
 
-    Schedules are per *micro*-iteration (reference steps schedulers with
-    epoch*len(loader)+iter, engine.py:178-184); the caller passes the micro
-    step count as optax's count via `optax.inject`-free closure: we instead
-    scale inside the step by stepping the optimizer once per accumulation
-    boundary and multiplying counts by accum_iter in the schedule wrapper
-    (see steps.py).
+    Schedules are per *micro*-iteration (the reference steps its schedulers
+    with epoch*len(loader)+iter in micro steps, engine.py:178-184) while
+    optax counts optimizer updates (one per accumulation window), so each
+    schedule is evaluated at count * accum_iter. `total_steps` /
+    `steps_per_epoch` are in micro-iterations.
     """
-    sch_param = make_schedule(cfg_param.lr, sched, total_steps,
-                              steps_per_epoch)
-    sch_arch = make_schedule(cfg_arch.lr, sched, total_steps, steps_per_epoch)
-    sch_dec = make_schedule(cfg_dec.lr, sched, total_steps, steps_per_epoch)
+    def scaled(fn):
+        if accum_iter == 1:
+            return fn
+        return lambda count: fn(count * accum_iter)
+
+    sch_param = scaled(make_schedule(cfg_param.lr, sched, total_steps,
+                                     steps_per_epoch))
+    sch_arch = scaled(make_schedule(cfg_arch.lr, sched, total_steps,
+                                    steps_per_epoch))
+    sch_dec = scaled(make_schedule(cfg_dec.lr, sched, total_steps,
+                                   steps_per_epoch))
 
     tx = optax.multi_transform(
         {

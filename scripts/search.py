@@ -251,7 +251,7 @@ def main(args):
         scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
         total_steps=total_micro,
         steps_per_epoch=steps_per_epoch * scfg.accum_iter,
-        clip_grad=scfg.clip_grad)
+        clip_grad=scfg.clip_grad, accum_iter=scfg.accum_iter)
 
     mesh = make_mesh()
     params = replicate(mesh, params)
@@ -378,7 +378,7 @@ def main(args):
                 os.path.join(scfg.output_dir, "running_ckpt"),
                 params=state.params, alphas=state.alphas, arch=state.arch,
                 opt_state=state.opt_state, ema_params=state.ema_params,
-                meta=meta)
+                meta=meta, async_write=True)
             if args.vis_score and not finish_search:
                 logger.save_score_maps(jax.device_get(state.params),
                                        jax.device_get(state.alphas),
@@ -431,6 +431,7 @@ def main(args):
             meta={"fused": True})
         master_print("saved model_fused")
 
+    ckpt.wait_for_pending_saves()
     master_print(f"Training time "
                  f"{time.strftime('%H:%M:%S', time.gmtime(time.time() - t_start))}")
     return state

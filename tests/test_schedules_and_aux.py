@@ -121,3 +121,18 @@ def test_checkpoint_roundtrip_with_arch(tmp_path):
                                   np.asarray(alphas["embed"]))
     np.testing.assert_array_equal(np.asarray(r["arch"].embed.hard_mask),
                                   np.asarray(arch.embed.hard_mask))
+
+
+def test_schedule_accum_scaling():
+    """With accum_iter > 1 the schedule must advance accum micro-steps per
+    optimizer update (reference steps its per-iteration schedulers with
+    micro counts, engine.py:178-184)."""
+    fam = OptimFamilyConfig(lr=1e-3)
+    sched = ScheduleConfig(warmup_lr=0.0, min_lr=0.0, warmup_epochs=1)
+    _, s1 = build_search_optimizer(fam, fam, fam, sched, total_steps=100,
+                                   steps_per_epoch=10, accum_iter=1)
+    _, s2 = build_search_optimizer(fam, fam, fam, sched, total_steps=100,
+                                   steps_per_epoch=10, accum_iter=4)
+    # after 5 optimizer updates with accum 4, lr equals micro-step 20
+    assert float(s2["param"](5)) == pytest.approx(float(s1["param"](20)),
+                                                  rel=1e-6)
