@@ -166,3 +166,21 @@ def test_patchify_layout():
     img = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
     toks = pmim.patchify(jnp.asarray(img), 4)
     assert toks.shape == (2, 4, 48)
+
+
+def test_mim_forward_no_mae():
+    """BASELINE config 2: bi-mask search without PMIM (--no-mae).
+    No mask_token/decoder params; decoder loss exactly 0."""
+    key = jax.random.PRNGKey(0)
+    space = tiny_space()
+    from ofb_tpu.models.mim_vit import init_mim_params as imp
+    params = imp(key, TINY, space, mae=False)
+    assert "mask_token" not in params and "decoder" not in params
+    alphas = init_alphas(key, space)
+    arch = ArchState.create(space)
+    x = jax.random.uniform(key, (2, 32, 32, 3))
+    out = mim_forward(params, alphas, arch, x, TINY, space, train=True,
+                      use_mim=True, keep_ratio=jnp.asarray(0.8),
+                      rng=key, compute_dtype=jnp.float32)
+    assert float(out.decoder_loss) == 0.0
+    assert np.isfinite(np.asarray(out.logits)).all()
