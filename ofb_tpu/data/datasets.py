@@ -61,6 +61,31 @@ class _ResizeU8:
         return np.asarray(img, np.uint8)
 
 
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp", ".tif",
+                  ".tiff")
+
+
+def scan_image_folder(root: str):
+    """ImageFolder-style directory scan: class-per-subdirectory, sorted
+    class names -> indices. Returns (samples [(path, idx)], class_to_idx).
+    (Self-contained replacement for torchvision.datasets.ImageFolder's
+    listing — torchvision is an optional dependency.)"""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    samples = []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for dirpath, _, files in sorted(os.walk(cdir)):
+            for f in sorted(files):
+                if f.lower().endswith(IMG_EXTENSIONS):
+                    samples.append((os.path.join(dirpath, f),
+                                    class_to_idx[c]))
+    if not samples:
+        raise FileNotFoundError(f"no images under {root}")
+    return samples, class_to_idx
+
+
 class FolderDataset:
     """ImageFolder-style dataset decoding to the staging resolution.
 
@@ -71,18 +96,17 @@ class FolderDataset:
     def __init__(self, root: str, staging: int,
                  class_subset: Optional[list] = None,
                  native_decode: bool = True):
-        import torchvision.datasets as tvd
-        self.ds = tvd.ImageFolder(root)
+        samples, self.class_to_idx = scan_image_folder(root)
         self.tf = _ResizeU8(staging)
         self.staging = staging
         self.native_decode = native_decode
         if class_subset is not None:
             keep = set(class_subset)
-            self.samples = [(p, t) for (p, t) in self.ds.samples if t in keep]
+            samples = [(p, t) for (p, t) in samples if t in keep]
             remap = {t: i for i, t in enumerate(sorted(keep))}
-            self.samples = [(p, remap[t]) for (p, t) in self.samples]
+            self.samples = [(p, remap[t]) for (p, t) in samples]
         else:
-            self.samples = self.ds.samples
+            self.samples = samples
 
     def __len__(self):
         return len(self.samples)
@@ -103,18 +127,44 @@ class FolderDataset:
 
 
 class CifarDataset:
+    """CIFAR-10/100 from the standard python-version pickle batches
+    (self-contained; no torchvision). Expects the extracted
+    cifar-10-batches-py / cifar-100-python directory under `root`."""
+
     def __init__(self, root: str, train: bool, staging: int, cifar100=False):
-        import torchvision.datasets as tvd
-        cls = tvd.CIFAR100 if cifar100 else tvd.CIFAR10
-        self.ds = cls(root, train=train, download=False)
-        self.tf = _ResizeU8(staging)
+        self.staging = staging
+        if cifar100:
+            base = os.path.join(root, "cifar-100-python")
+            files = ["train"] if train else ["test"]
+            label_key = b"fine_labels"
+        else:
+            base = os.path.join(root, "cifar-10-batches-py")
+            files = [f"data_batch_{i}" for i in range(1, 6)] if train \
+                else ["test_batch"]
+            label_key = b"labels"
+        if not os.path.isdir(base):
+            base = root  # allow pointing directly at the batch dir
+        datas, labels = [], []
+        for fn in files:
+            with open(os.path.join(base, fn), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            datas.append(np.asarray(d[b"data"], np.uint8))
+            labels.extend(d[label_key])
+        self.images = np.concatenate(datas).reshape(-1, 3, 32, 32) \
+            .transpose(0, 2, 3, 1)
+        self.labels = np.asarray(labels, np.int64)
 
     def __len__(self):
-        return len(self.ds)
+        return len(self.labels)
 
     def __getitem__(self, i):
-        img, target = self.ds[i]
-        return self.tf(img), int(target)
+        img = self.images[i]
+        s = self.staging
+        if s != 32:
+            from PIL import Image
+            img = np.asarray(
+                Image.fromarray(img).resize((s, s), Image.BICUBIC), np.uint8)
+        return img, int(self.labels[i])
 
 
 class INatDataset:
@@ -175,9 +225,8 @@ def build_dataset(is_train: bool, cfg: DataConfig, staging: int = 256
             with open(cache, "rb") as f:
                 subset = pickle.load(f)
         else:
-            import torchvision.datasets as tvd
-            classes = sorted(tvd.ImageFolder(root).class_to_idx.values())
-            subset = classes[:100]
+            _, class_to_idx = scan_image_folder(root)
+            subset = sorted(class_to_idx.values())[:100]
             try:
                 with open(cache, "wb") as f:
                     pickle.dump(subset, f)

@@ -100,8 +100,8 @@ class NativeFolderDataset:
     to PIL per-image on non-JPEG or decode failure."""
 
     def __init__(self, root: str, staging: int):
-        import torchvision.datasets as tvd
-        self.samples = tvd.ImageFolder(root).samples
+        from .datasets import scan_image_folder
+        self.samples, _ = scan_image_folder(root)
         self.staging = staging
 
     def __len__(self):

@@ -13,6 +13,7 @@ reference engine.py:97-98).
 from __future__ import annotations
 
 import collections
+import os
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -41,8 +42,35 @@ class HostLoader:
             yield from self._iter_workers()
         else:
             for batch in self.batch_indices:
+                out = self._native_batch(batch)
+                if out is not None:
+                    yield out
+                    continue
                 imgs, lbls = zip(*(self.dataset[int(i)] for i in batch))
                 yield np.stack(imgs), np.asarray(lbls, np.int32)
+
+    def _native_batch(self, batch):
+        """Whole-batch JPEG staging through the native thread pool
+        (native/ofb_dataprep.cpp) when the dataset exposes file samples —
+        one C call decodes the batch across all host cores."""
+        ds = self.dataset
+        if not (hasattr(ds, "samples") and hasattr(ds, "staging")):
+            return None
+        from .native import native_available, stage_jpeg_batch
+        if not native_available():
+            return None
+        pairs = [ds.samples[int(i)] for i in batch]
+        if not all(p.lower().endswith((".jpg", ".jpeg")) for p, _ in pairs):
+            return None
+        datas = []
+        for p, _ in pairs:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+        nthreads = os.cpu_count() or 4
+        imgs = stage_jpeg_batch(datas, ds.staging, nthreads=nthreads)
+        if imgs is None:
+            return None
+        return imgs, np.asarray([t for _, t in pairs], np.int32)
 
     def _iter_workers(self):
         import torch

@@ -207,3 +207,35 @@ def test_trainable_mask_freezes():
                                  w_embedding=0.5)
     assert am["patch"] == 0.0 and am["embed"] == 1.0
     assert am["blocks"][0]["attn"] == 1.0
+
+
+def test_scan_image_folder_and_cifar_pickles(tmp_path):
+    """Self-contained folder scan + CIFAR pickle reader (no torchvision)."""
+    from PIL import Image
+    import pickle
+    from ofb_tpu.data.datasets import CifarDataset, scan_image_folder
+
+    for cls in ("cat", "dog"):
+        d = tmp_path / "imgs" / cls
+        d.mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    samples, c2i = scan_image_folder(str(tmp_path / "imgs"))
+    assert c2i == {"cat": 0, "dog": 1}
+    assert len(samples) == 2 and samples[0][1] == 0
+
+    # synthetic CIFAR-10 batch files
+    rs = np.random.RandomState(0)
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    for fn in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        d = {b"data": rs.randint(0, 256, (4, 3072), np.uint8),
+             b"labels": [0, 1, 2, 3]}
+        with open(base / fn, "wb") as f:
+            pickle.dump(d, f)
+    ds = CifarDataset(str(tmp_path), train=True, staging=32)
+    assert len(ds) == 20
+    img, lbl = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    ds_test = CifarDataset(str(tmp_path), train=False, staging=40)
+    img2, _ = ds_test[1]
+    assert img2.shape == (40, 40, 3)

@@ -61,3 +61,30 @@ def test_resize_rgb_identity():
     img = rs.randint(0, 256, (16, 16, 3), np.uint8)
     out = resize_rgb(img, 16, 16)
     np.testing.assert_array_equal(out, img)
+
+
+def test_host_loader_native_batch_path(tmp_path):
+    """HostLoader takes the whole-batch native staging path for JPEG folder
+    datasets (one C call, threaded)."""
+    from PIL import Image
+    import numpy as np
+    rs = np.random.RandomState(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            img = (rs.rand(40, 48, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i}.jpg", quality=95)
+
+    from ofb_tpu.data.datasets import FolderDataset
+    from ofb_tpu.data.pipeline import HostLoader
+    ds = FolderDataset(str(tmp_path), staging=32)
+    loader = HostLoader(ds, np.arange(6).reshape(2, 3))
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, lbls = batches[0]
+    assert imgs.shape == (3, 32, 32, 3) and imgs.dtype == np.uint8
+    assert lbls.shape == (3,)
+    # native batch output must equal the per-image dataset path
+    ref0 = ds[0][0]
+    np.testing.assert_array_equal(imgs[0], ref0)
