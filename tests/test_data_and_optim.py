@@ -239,3 +239,27 @@ def test_scan_image_folder_and_cifar_pickles(tmp_path):
     ds_test = CifarDataset(str(tmp_path), train=False, staging=40)
     img2, _ = ds_test[1]
     assert img2.shape == (40, 40, 3)
+
+
+def test_freeze_weights_mask():
+    """--freeze_weights keeps only alpha/score/norm/token/decoder/mask/head
+    trainable (reference search.py:421-426)."""
+    params = {
+        "patch_embed": {"score": jnp.zeros(4),
+                        "proj": {"kernel": jnp.zeros((2, 2, 3, 4)),
+                                 "bias": jnp.zeros(4)}},
+        "cls_token": jnp.zeros((1, 1, 4)),
+        "blocks": [{"attn": {"qkv": {"kernel": jnp.zeros((4, 12))}},
+                    "norm1": {"scale": jnp.zeros(4)}}],
+        "head": {"kernel": jnp.zeros((4, 10))},
+        "decoder": {"conv": {"kernel": jnp.zeros((1, 1, 4, 12))}},
+    }
+    alphas = {"patch": jnp.zeros(5), "embed": jnp.zeros(3), "blocks": []}
+    pm, _ = make_trainable_mask(params, alphas, freeze_weights=True)
+    assert pm["patch_embed"]["score"] == 1.0
+    assert pm["patch_embed"]["proj"]["kernel"] == 0.0
+    assert pm["cls_token"] == 1.0            # 'token'
+    assert pm["blocks"][0]["attn"]["qkv"]["kernel"] == 0.0
+    assert pm["blocks"][0]["norm1"]["scale"] == 1.0
+    assert pm["head"]["kernel"] == 1.0
+    assert pm["decoder"]["conv"]["kernel"] == 1.0
