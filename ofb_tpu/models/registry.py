@@ -174,3 +174,38 @@ for _vname, _dims in _VIT_DIMS.items():
                                drop_path_rate=drop_path_rate, **_dims)
                 return ModelBundle(name="vit", cfg=cfg, kind="dense")
             _REGISTRY[f"{_vname}_patch{_patch}_{_img}"] = _vf
+
+
+# Swin family (dense; the reference README lists unreleased OFB-Swin
+# results, README.md:27-31 — searchable Swin is future work)
+from .swin import SwinCfg, init_swin_params, swin_forward  # noqa: E402
+
+
+@dataclass
+class SwinBundle:
+    name: str
+    cfg: SwinCfg
+    kind: str = "swin"
+
+    def init(self, key, **_):
+        return init_swin_params(key, self.cfg)
+
+    def apply(self, params, x, **kw):
+        return swin_forward(params, x, self.cfg, **kw)
+
+
+_SWIN_DIMS = {
+    "tiny": dict(embed_dim=96, depths=(2, 2, 6, 2),
+                 num_heads=(3, 6, 12, 24)),
+    "small": dict(embed_dim=96, depths=(2, 2, 18, 2),
+                  num_heads=(3, 6, 12, 24)),
+    "base": dict(embed_dim=128, depths=(2, 2, 18, 2),
+                 num_heads=(4, 8, 16, 32)),
+}
+for _sname, _sd in _SWIN_DIMS.items():
+    def _sf(num_classes=1000, img_size=224, drop_path_rate=0.1,
+            _sd=_sd, **_unused):
+        cfg = SwinCfg(img_size=img_size, num_classes=num_classes,
+                      drop_path_rate=drop_path_rate, **_sd)
+        return SwinBundle(name="swin", cfg=cfg)
+    _REGISTRY[f"swin_{_sname}_patch4_window7_224"] = _sf
