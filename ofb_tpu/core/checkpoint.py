@@ -58,7 +58,8 @@ def save_checkpoint(path: str, *, params, alphas=None, arch=None,
             with open(os.path.join(path, name + ".msgpack"), "wb") as f:
                 f.write(serialization.to_bytes(tree))
         with open(tmp, "w") as f:
-            json.dump({"parts": list(parts), **(meta or {})}, f, indent=2)
+            json.dump({"format_version": 1, "parts": list(parts),
+                       **(meta or {})}, f, indent=2)
         os.replace(tmp, os.path.join(path, "meta.json"))
 
     if async_write:
@@ -81,6 +82,10 @@ def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
     dict with restored parts + meta."""
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    ver = meta.get("format_version", 1)
+    if ver > 1:
+        raise ValueError(f"checkpoint format {ver} is newer than this "
+                         f"build understands (1): {path}")
     out: Dict[str, Any] = {"meta": meta}
     templates = {"params": params, "alphas": alphas, "arch": arch,
                  "opt_state": opt_state, "ema": ema_params}

@@ -75,6 +75,14 @@ def get_args_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true")
+    # compat no-ops (see search.py)
+    p.add_argument("--use-amp", action="store_true", help="[compat] no-op")
+    p.add_argument("--device", default="tpu", help="[compat] no-op")
+    p.add_argument("--gpu", default="", help="[compat] no-op")
+    p.add_argument("--world_size", default=1, type=int, help="[compat] no-op")
+    p.add_argument("--dist_url", default="env://", help="[compat] no-op")
+    p.add_argument("--dist-eval", action="store_true", help="[compat] no-op")
+    p.add_argument("--pin-mem", action="store_true", help="[compat] no-op")
     return p
 
 

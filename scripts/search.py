@@ -121,6 +121,19 @@ def get_args_parser():
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true",
                    help="tiny model/images for smoke tests")
+    # accepted-for-compatibility flags from the reference CLI (no-ops here:
+    # bf16 replaces apex AMP; the mesh replaces torch.distributed)
+    p.add_argument("--use-amp", action="store_true",
+                   help="[compat] no-op: bf16 compute replaces apex AMP")
+    p.add_argument("--device", default="tpu", help="[compat] no-op")
+    p.add_argument("--gpu", default="", help="[compat] no-op")
+    p.add_argument("--world_size", default=1, type=int,
+                   help="[compat] no-op: world size comes from the mesh")
+    p.add_argument("--dist_url", default="env://", help="[compat] no-op")
+    p.add_argument("--dist-eval", action="store_true", help="[compat] no-op")
+    p.add_argument("--pin-mem", action="store_true", help="[compat] no-op")
+    p.add_argument("--no-pin-mem", action="store_false", dest="pin_mem",
+                   help="[compat] no-op")
     return p
 
 
