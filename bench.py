@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--phase", default="search")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint per block (memory for FLOPs)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +60,9 @@ def main():
         compute = jnp.float32
     else:
         bundle = create_model("deit_small_patch16_224_mim", patch_search=True)
+        if args.remat:
+            import dataclasses
+            bundle.cfg = dataclasses.replace(bundle.cfg, remat=True)
         batch = args.batch or 256
         compute = jnp.bfloat16
 

@@ -254,26 +254,36 @@ def mim_forward(params: Params, alphas: Params, arch: ArchState,
     tok = dropout(tok, cfg.drop_rate, rngs[-2], train)
 
     hard_e = arch.embed.hard_mask
-    for i, (bp, dp) in enumerate(zip(params["blocks"],
-                                     cfg.drop_path_schedule())):
-        r = rngs[i]
+
+    def block_body(tok, bp, blk_alphas, blk_arch, i, r, dp):
         ra = rb = rc = rd = None
         if r is not None:
             ra, rb, rc, rd = jax.random.split(r, 4)
         h = G.masked_layer_norm(tok, eg.support, bp["norm1"]["scale"],
                                 bp["norm1"]["bias"], eps=cfg.ln_eps,
                                 passthrough="identity")
-        h = gated_attention(bp["attn"], h, alphas["blocks"][i],
-                            arch.blocks[i], space.blocks[i], hard_e, cfg,
-                            fused, train=train, rng=ra)
+        h = gated_attention(bp["attn"], h, blk_alphas, blk_arch,
+                            space.blocks[i], hard_e, cfg, fused,
+                            train=train, rng=ra)
         tok = tok + drop_path(h, dp, rb, train)
         h = G.masked_layer_norm(tok, eg.support, bp["norm2"]["scale"],
                                 bp["norm2"]["bias"], eps=cfg.ln_eps,
                                 passthrough="identity")
-        h = gated_mlp(bp["mlp"], h, alphas["blocks"][i], arch.blocks[i],
+        h = gated_mlp(bp["mlp"], h, blk_alphas, blk_arch,
                       space.blocks[i], hard_e, cfg, fused, train=train,
                       rng=rc)
-        tok = tok + drop_path(h, dp, rd, train)
+        return tok + drop_path(h, dp, rd, train)
+
+    for i, (bp, dp) in enumerate(zip(params["blocks"],
+                                     cfg.drop_path_schedule())):
+        if cfg.remat:
+            tok = jax.checkpoint(
+                lambda t, b, a, ar, _i=i, _r=rngs[i], _dp=dp:
+                block_body(t, b, a, ar, _i, _r, _dp)
+            )(tok, bp, alphas["blocks"][i], arch.blocks[i])
+        else:
+            tok = block_body(tok, bp, alphas["blocks"][i], arch.blocks[i],
+                             i, rngs[i], dp)
 
     latent = G.masked_layer_norm(tok, eg.support, params["norm"]["scale"],
                                  params["norm"]["bias"], eps=cfg.ln_eps,
