@@ -251,10 +251,13 @@ def compress(params, alphas, arch: ArchState, opt_state,
             pass
         changed = False
 
+        bpath = _block_path(params, i)
+        bpath_str = ".".join(str(x) for x in bpath)
         if bs.attn.searchable and not bool(ba.attn.finished):
             upd = _compress_attn(_np(alphas["blocks"][i]["attn"]),
                                  _np(ba.attn.switch),
-                                 _np(params["blocks"][i]["attn"]["score"]),
+                                 _np(_get_in(new_params, bpath)
+                                     ["attn"]["score"]),
                                  _np(ba.attn.hard_mask), float(ba.attn.w_p),
                                  thresh, bs.attn)
             if upd["pruned"]:
@@ -275,16 +278,17 @@ def compress(params, alphas, arch: ArchState, opt_state,
                 zero_paths.append(f"1.blocks.{i}.attn")
                 if "score" in upd:
                     new_params = _set_in(
-                        new_params, ("blocks", i, "attn", "score"),
+                        new_params, bpath + ("attn", "score"),
                         jnp.asarray(upd["score"]))
-                    zero_paths.append(f"0.blocks.{i}.attn.score")
+                    zero_paths.append(f"0.{bpath_str}.attn.score")
                 changed = True
 
         ba = new_block_arches[i]
         if bs.mlp.searchable and not bool(ba.mlp.finished):
             upd = _compress_dim(_np(alphas["blocks"][i]["mlp"]),
                                 _np(ba.mlp.switch),
-                                _np(params["blocks"][i]["mlp"]["score"]),
+                                _np(_get_in(new_params, bpath)
+                                    ["mlp"]["score"]),
                                 _np(ba.mlp.hard_mask), float(ba.mlp.w_p),
                                 thresh, bs.mlp)
             if upd["pruned"]:
@@ -302,9 +306,9 @@ def compress(params, alphas, arch: ArchState, opt_state,
                 zero_paths.append(f"1.blocks.{i}.mlp")
                 if "score" in upd:
                     new_params = _set_in(
-                        new_params, ("blocks", i, "mlp", "score"),
+                        new_params, bpath + ("mlp", "score"),
                         jnp.asarray(upd["score"]))
-                    zero_paths.append(f"0.blocks.{i}.mlp.score")
+                    zero_paths.append(f"0.{bpath_str}.mlp.score")
                 changed = True
         del ba
 
@@ -354,6 +358,28 @@ def _finish_singletons(arch: ArchState, space: SearchSpace) -> ArchState:
         blocks=tuple(b.replace(attn=fin_attn(b.attn), mlp=fin_dim(b.mlp))
                      for b in arch.blocks),
         patch=pa)
+
+
+def _block_path(params, i: int) -> Tuple:
+    """Path of the i-th transformer block in the params tree. Supports the
+    ViT layout (params["blocks"][i]) and the Swin layout
+    (params["stages"][s]["blocks"][b] with blocks flattened across
+    stages)."""
+    if "blocks" in params:
+        return ("blocks", i)
+    j = i
+    for s, stage in enumerate(params["stages"]):
+        nb = len(stage["blocks"])
+        if j < nb:
+            return ("stages", s, "blocks", j)
+        j -= nb
+    raise IndexError(i)
+
+
+def _get_in(tree, path: Tuple):
+    for p in path:
+        tree = tree[p]
+    return tree
 
 
 def _set_in(tree, path: Tuple, value):

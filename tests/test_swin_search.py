@@ -1,0 +1,101 @@
+"""Searchable Swin: gated forward, alpha gradients, compress reuse,
+FLOPs model, export (MLP slicing + fused attention gates)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ofb_tpu.core.compress import compress
+from ofb_tpu.models.swin import SwinCfg, swin_forward
+from ofb_tpu.models.swin_search import (build_swin_space,
+                                        export_swin_subnet,
+                                        init_swin_search,
+                                        swin_model_flops,
+                                        swin_search_forward)
+
+CFG = SwinCfg(img_size=32, patch_size=2, num_classes=10, embed_dim=24,
+              depths=(1, 1), num_heads=(2, 4), window=4, mlp_ratio=2.0,
+              drop_path_rate=0.0)
+
+
+def setup():
+    space = build_swin_space(CFG)
+    params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), CFG,
+                                            space)
+    return space, params, alphas, arch
+
+
+def test_space_layout():
+    space, params, alphas, arch = setup()
+    assert len(space.blocks) == sum(CFG.depths)
+    assert space.blocks[0].attn.num_heads == 2
+    assert space.blocks[1].attn.num_heads == 4
+    assert space.blocks[1].mlp.dim == int(CFG.stage_dim(1) * CFG.mlp_ratio)
+    assert bool(arch.embed.finished) and bool(arch.patch.finished)
+
+
+def test_gated_forward_and_alpha_grads():
+    space, params, alphas, arch = setup()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    logits = swin_search_forward(params, alphas, arch, x, CFG, space,
+                                 compute_dtype=jnp.float32)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(alphas):
+        out = swin_search_forward(params, alphas, arch, x, CFG, space,
+                                  compute_dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(alphas)
+    assert np.abs(np.asarray(g["blocks"][0]["attn"])).sum() > 0
+    assert np.abs(np.asarray(g["blocks"][0]["mlp"])).sum() > 0
+
+
+def test_flops_model_moves_with_alpha():
+    space, params, alphas, arch = setup()
+    total, searched = swin_model_flops(alphas, arch, space, CFG)
+    assert float(searched) < float(total)
+    # concentrate on the smallest cells -> searched shrinks
+    small = []
+    for b in alphas["blocks"]:
+        a = np.full(np.asarray(b["attn"]).shape, -8.0, np.float32)
+        a.reshape(-1)[0] = 8.0
+        m = np.full(np.asarray(b["mlp"]).shape, -8.0, np.float32)
+        m[0] = 8.0
+        small.append({"attn": jnp.asarray(a), "mlp": jnp.asarray(m)})
+    alphas_small = dict(alphas, blocks=small)
+    _, s2 = swin_model_flops(alphas_small, arch, space, CFG)
+    assert float(s2) < float(searched)
+
+
+def test_compress_and_export_equivalence():
+    space, params, alphas, arch = setup()
+
+    def onehot(shape, idx):
+        a = np.full(shape, -8.0, np.float32)
+        a.reshape(-1)[idx] = 8.0
+        return jnp.asarray(a)
+
+    for b in alphas["blocks"]:
+        b["attn"] = onehot(np.asarray(b["attn"]).shape, 2)
+        b["mlp"] = onehot(np.asarray(b["mlp"]).shape, 3)
+    params, alphas, arch, _, rep = compress(params, alphas, arch, None,
+                                            space, thresh=0.2)
+    assert rep.finish_search, rep.events
+    for i, bs in enumerate(space.blocks):
+        ba = arch.blocks[i]
+        assert bool(ba.attn.finished) and bool(ba.mlp.finished)
+        assert int(np.asarray(ba.mlp.hard_mask).sum()) == \
+            int(bs.mlp.cell_sizes[3])
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    gated = swin_search_forward(params, alphas, arch, x, CFG, space,
+                                compute_dtype=jnp.float32)
+    dense, dcfg, meta = export_swin_subnet(params, arch, space, CFG)
+    # exported blocks have sliced MLPs
+    hid0 = dense["stages"][0]["blocks"][0]["mlp"]["fc1"]["kernel"].shape[1]
+    assert hid0 == int(space.blocks[0].mlp.cell_sizes[3])
+    ref = swin_forward(dense, x, dcfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(ref),
+                               atol=3e-4, rtol=1e-3)
