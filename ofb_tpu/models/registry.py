@@ -209,3 +209,37 @@ for _sname, _sd in _SWIN_DIMS.items():
                       drop_path_rate=drop_path_rate, **_sd)
         return SwinBundle(name="swin", cfg=cfg)
     _REGISTRY[f"swin_{_sname}_patch4_window7_224"] = _sf
+
+
+from .swin_search import (build_swin_space, init_swin_search,  # noqa: E402
+                          swin_search_forward)
+
+
+@dataclass
+class SwinSearchBundle:
+    name: str
+    cfg: SwinCfg
+    space: "SearchSpace"
+    kind: str = "swin_mim"
+
+    def init(self, key, **_):
+        return init_swin_search(key, self.cfg, self.space)
+
+    def apply(self, params, x, **kw):
+        return swin_search_forward(params, kw.pop("alphas"),
+                                   kw.pop("arch"), x, self.cfg, self.space,
+                                   **kw)
+
+
+for _sname, _sd in _SWIN_DIMS.items():
+    def _ssf(num_classes=1000, img_size=224, attn_search=True,
+             mlp_search=True, head_search=False, channel_search=False,
+             drop_path_rate=0.1, _sd=_sd, **_unused):
+        cfg = SwinCfg(img_size=img_size, num_classes=num_classes,
+                      drop_path_rate=drop_path_rate, **_sd)
+        space = build_swin_space(cfg, attn_search=attn_search,
+                                 mlp_search=mlp_search,
+                                 head_search=head_search,
+                                 channel_search=channel_search)
+        return SwinSearchBundle(name="swin_mim", cfg=cfg, space=space)
+    _REGISTRY[f"swin_{_sname}_patch4_window7_224_mim"] = _ssf

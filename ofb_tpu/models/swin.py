@@ -89,7 +89,8 @@ def relative_position_index(w: int) -> np.ndarray:
 
 def shifted_window_mask(res: int, w: int, shift: int) -> np.ndarray:
     """Attention mask for cyclic-shifted windows: (nW, w*w, w*w) with
-    NEG_INF at cross-region pairs."""
+    NEG_INF at cross-region pairs. Pure numpy (it is a static constant and
+    must stay trace-free so callers can build it inside jit)."""
     img = np.zeros((res, res), np.int32)
     cnt = 0
     slices = (slice(0, -w), slice(-w, -shift), slice(-shift, None))
@@ -97,8 +98,8 @@ def shifted_window_mask(res: int, w: int, shift: int) -> np.ndarray:
         for ws in slices:
             img[hs, ws] = cnt
             cnt += 1
-    win = window_partition(jnp.asarray(img[None, :, :, None]), w)
-    win = np.asarray(win)[:, :, 0]                        # (nW, w*w)
+    win = img.reshape(res // w, w, res // w, w).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, w * w)                          # (nW, w*w)
     mask = (win[:, None, :] != win[:, :, None])
     return np.where(mask, NEG_INF, 0.0).astype(np.float32)
 
