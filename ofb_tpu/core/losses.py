@@ -19,6 +19,21 @@ from ..ops.flops import flops_loss
 from ..ops.gates import masked_softmax
 
 
+def _block_params(params, i: int):
+    """The i-th transformer block's params; supports the ViT layout
+    (params['blocks'][i]) and the Swin layout
+    (params['stages'][s]['blocks'][b], blocks flattened across stages)."""
+    if "blocks" in params:
+        return params["blocks"][i]
+    j = i
+    for stage in params["stages"]:
+        nb = len(stage["blocks"])
+        if j < nb:
+            return stage["blocks"][j]
+        j -= nb
+    raise IndexError(i)
+
+
 # ---------------------------------------------------------------------------
 # Classification criteria (timm equivalents used by the reference,
 # search.py:581-585, 650-655)
@@ -176,7 +191,7 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
             if norm:
                 l = l + jnp.where(
                     jnp.sum(ba.attn.switch) > 1,
-                    _score_norm(params["blocks"][i]["attn"]["score"],
+                    _score_norm(_block_params(params, i)["attn"]["score"],
                                 ba.attn.hard_mask, 4e-4), 0.0)
             loss_attn = loss_attn + l
         if bs.mlp.searchable:
@@ -185,7 +200,7 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
             if norm:
                 l = l + jnp.where(
                     jnp.sum(ba.mlp.switch) > 1,
-                    _score_norm(params["blocks"][i]["mlp"]["score"],
+                    _score_norm(_block_params(params, i)["mlp"]["score"],
                                 ba.mlp.hard_mask, 1e-4), 0.0)
             loss_mlp = loss_mlp + l
     return {"attn": loss_attn, "mlp": loss_mlp, "patch": loss_patch,

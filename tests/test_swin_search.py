@@ -99,3 +99,14 @@ def test_compress_and_export_equivalence():
     ref = swin_forward(dense, x, dcfg, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(gated), np.asarray(ref),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_sparsity_losses_work_on_swin_layout():
+    from ofb_tpu.core.losses import sparsity_losses
+    space, params, alphas, arch = setup()
+    sp = sparsity_losses(params, alphas, arch, space)
+    assert float(sp["attn"]) > 0 and float(sp["mlp"]) > 0
+    assert float(sp["embed"]) == 0.0     # embed not searchable in Swin
+    # the score-norm term reads scores through the stage layout
+    sp2 = sparsity_losses(params, alphas, arch, space, norm=False)
+    assert float(sp["attn"]) > float(sp2["attn"])
