@@ -70,3 +70,28 @@ def test_sharded_step_matches_single_device(tp):
     a = np.asarray(out_state.alphas["embed"])
     b = np.asarray(ref_state.alphas["embed"])
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_dryrun_multichip_driver_path():
+    """The driver calls dryrun_multichip() directly in a process whose
+    backend may already be a 1-device TPU — the function must succeed by
+    re-exec'ing itself (round-1 red gate, MULTICHIP_r01.json rc=1).
+    Simulated here with a 1-device CPU backend in a subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r}); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
