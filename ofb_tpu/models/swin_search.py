@@ -254,7 +254,7 @@ def swin_model_flops(alphas, arch: ArchState, space: SearchSpace,
             searched = searched + n_win * (sd / (heads * hd) * heads * w2
                                            * hd * w2 * 2.0
                                            + 6.0 * aH * w2 * w2)
-            searched = searched + tokens * sd + tokens * dim
+            searched = searched + tokens * sd * dim + tokens * dim
             searched = searched + (dim * am + am * dim + dim + am) * tokens
             gi += 1
     C = float(cfg.num_classes)
@@ -294,6 +294,18 @@ def export_swin_subnet(params: Params, arch: ArchState, space: SearchSpace,
                 bp["mlp"]["fc1"]["kernel"]) * m_score[None, :]
             bp["mlp"]["fc1"]["bias"] = np.asarray(
                 bp["mlp"]["fc1"]["bias"]) * m_score
+            # fold the searched softmax scale into the q columns: the
+            # supernet attends with arch.scale (= chan_cnt**-0.5 after a
+            # channel trim, compress.py:158) while the exported dense
+            # forward uses hd**-0.5 (_window_attention), so scale q by the
+            # ratio to keep gated == sliced exactly.
+            dim = H * hd
+            ratio = float(np.asarray(ba.attn.scale)) / (hd ** -0.5)
+            if ratio != 1.0:
+                k = bp["attn"]["qkv"]["kernel"]
+                k[:, :dim] = k[:, :dim] * ratio
+                bb = bp["attn"]["qkv"]["bias"]
+                bb[:dim] = bb[:dim] * ratio
             # NOTE: qkv head-channel slicing changes per-head widths inside
             # the fixed window attention; round 1 keeps the dense qkv with
             # zero rows (numerically identical) and slices only the MLP,

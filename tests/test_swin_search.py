@@ -69,8 +69,30 @@ def test_flops_model_moves_with_alpha():
     assert float(s2) < float(searched)
 
 
+def test_flops_searched_equals_total_at_full_cell():
+    """With every alpha fully on the LARGEST cell, the searched FLOPs must
+    equal the dense total (catches per-term accounting drift, e.g. the
+    round-1 proj term that dropped a factor of dim)."""
+    space, params, alphas, arch = setup()
+    full = []
+    for i, bs in enumerate(space.blocks):
+        a = np.full(np.asarray(alphas["blocks"][i]["attn"]).shape, -12.0,
+                    np.float32)
+        a.reshape(-1)[-1] = 12.0
+        m = np.full((bs.mlp.num_cells,), -12.0, np.float32)
+        m[-1] = 12.0
+        full.append({"attn": jnp.asarray(a), "mlp": jnp.asarray(m)})
+    total, searched = swin_model_flops(dict(alphas, blocks=full), arch,
+                                       space, CFG)
+    np.testing.assert_allclose(float(searched), float(total), rtol=1e-5)
+
+
 def test_compress_and_export_equivalence():
     space, params, alphas, arch = setup()
+    # realistic weight magnitudes: tiny trunc-normal init makes q.k ~ 0 and
+    # would hide a wrong softmax scale in the exported model
+    params = jax.tree_util.tree_map(
+        lambda x: x * 3.0 if x.ndim >= 2 else x, params)
 
     def onehot(shape, idx):
         a = np.full(shape, -8.0, np.float32)
