@@ -25,7 +25,8 @@ from flax import serialization
 
 from ..utils.logging import is_main_process
 
-_PENDING: list = []
+_PENDING: Dict[str, threading.Thread] = {}
+_PENDING_LOCK = threading.Lock()
 
 
 def _tree_to_host(tree):
@@ -53,27 +54,43 @@ def save_checkpoint(path: str, *, params, alphas=None, arch=None,
              if tree is not None}
 
     def write():
-        tmp = path + ".tmp_meta"
+        # every part goes tmp -> os.replace so a crash mid-write never
+        # leaves meta.json pointing at a truncated msgpack; meta last,
+        # so a readable meta implies readable parts.
         for name, tree in parts.items():
-            with open(os.path.join(path, name + ".msgpack"), "wb") as f:
+            dst = os.path.join(path, name + ".msgpack")
+            with open(dst + ".tmp", "wb") as f:
                 f.write(serialization.to_bytes(tree))
-        with open(tmp, "w") as f:
+            os.replace(dst + ".tmp", dst)
+        mdst = os.path.join(path, "meta.json")
+        with open(mdst + ".tmp", "w") as f:
             json.dump({"format_version": 1, "parts": list(parts),
                        **(meta or {})}, f, indent=2)
-        os.replace(tmp, os.path.join(path, "meta.json"))
+        os.replace(mdst + ".tmp", mdst)
 
     if async_write:
+        # serialize writes per destination: back-to-back epoch saves to
+        # the same running_ckpt dir must not interleave.
+        norm = os.path.abspath(path)
+        with _PENDING_LOCK:
+            prev = _PENDING.get(norm)
+        if prev is not None:
+            prev.join()
         t = threading.Thread(target=write, daemon=True)
+        with _PENDING_LOCK:
+            _PENDING[norm] = t
         t.start()
-        _PENDING.append(t)
     else:
         write()
 
 
 def wait_for_pending_saves():
     """Join outstanding async checkpoint writes (call before exit)."""
-    while _PENDING:
-        _PENDING.pop().join()
+    with _PENDING_LOCK:
+        pending = list(_PENDING.values())
+        _PENDING.clear()
+    for t in pending:
+        t.join()
 
 
 def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,

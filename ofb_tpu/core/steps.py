@@ -221,8 +221,13 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
                     num_classes: int, mixup_cfg=None, smoothing: float = 0.1,
                     ema_decay: Optional[float] = None,
                     teacher_apply: Optional[Callable] = None,
-                    distill=None, compute_dtype=jnp.bfloat16):
-    """Plain supervised train step for the finetune stage."""
+                    distill=None, compute_dtype=jnp.bfloat16,
+                    donate: bool = True):
+    """Plain supervised train step for the finetune stage.
+
+    donate=False is required on the axon TPU relay (buffer donation stalls
+    it — CLAUDE.md); scripts/finetune.py passes False like search.py does.
+    """
 
     def loss_fn(params, images, labels, rng):
         rng_fwd, rng_mix = jax.random.split(rng)
@@ -285,7 +290,7 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
                                   opt_state=new_opt, ema_params=ema)
         return new_state, {"loss": loss_sum / A}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 # ---------------------------------------------------------------------------

@@ -258,7 +258,7 @@ def main(args):
                               ema_decay=args.model_ema_decay
                               if args.model_ema else None,
                               teacher_apply=teacher_apply, distill=distill,
-                              compute_dtype=compute)
+                              compute_dtype=compute, donate=False)
     eval_step = make_eval_step_dense(cfg, compute_dtype=compute)
     logger = RunLogger(args.output_dir)
     bsh = batch_sharding(mesh, leading_accum=True)
@@ -290,21 +290,37 @@ def main(args):
                       "model_cfg": _cfg_meta(cfg)})
 
         if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
-            vloader = make_epoch_loader(ds_val, epoch=0, rank=rank,
-                                        world=world,
-                                        batch_size=args.batch_size,
-                                        repeated_aug=False, train=False,
-                                        seed=args.seed)
-            vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
-                                train=False, accum_iter=1, out_size=out_size)
-            test_stats = evaluate(eval_step, vfeed, state.params)
-            if test_stats["acc1"] >= max_acc and args.output_dir:
+
+            def run_eval(eval_params):
+                vloader = make_epoch_loader(ds_val, epoch=0, rank=rank,
+                                            world=world,
+                                            batch_size=args.batch_size,
+                                            repeated_aug=False, train=False,
+                                            seed=args.seed)
+                vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
+                                    train=False, accum_iter=1,
+                                    out_size=out_size)
+                return evaluate(eval_step, vfeed, eval_params)
+
+            # evaluate raw AND EMA weights, keep the better (the DeiT
+            # recipe tracks ModelEma through training and selects best-of;
+            # reference utils.py:332-447, finetune.py:461-476)
+            test_stats = run_eval(state.params)
+            candidates = [("raw", test_stats["acc1"])]
+            if state.ema_params is not None:
+                ema_stats = run_eval(state.ema_params)
+                candidates.append(("ema", ema_stats["acc1"]))
+                test_stats["ema_acc1"] = ema_stats["acc1"]
+                master_print(f"EMA accuracy: {ema_stats['acc1']:.2f}%")
+            win_kind, win_acc = max(candidates, key=lambda kv: kv[1])
+            if win_acc >= max_acc and args.output_dir:
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "best"),
                     params=state.params, ema_params=state.ema_params,
-                    meta={"epoch": epoch, "acc1": test_stats["acc1"],
+                    meta={"epoch": epoch, "acc1": win_acc,
+                          "eval_winner": win_kind,
                           "exported": True, "model_cfg": _cfg_meta(cfg)})
-            max_acc = max(max_acc, test_stats["acc1"])
+            max_acc = max(max_acc, win_acc)
             master_print(f"Max accuracy: {max_acc:.2f}%")
             logger.log_epoch(epoch, train_stats, test_stats, 0, 0.0)
 

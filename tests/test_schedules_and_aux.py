@@ -136,3 +136,25 @@ def test_schedule_accum_scaling():
     # after 5 optimizer updates with accum 4, lr equals micro-step 20
     assert float(s2["param"](5)) == pytest.approx(float(s1["param"](20)),
                                                   rel=1e-6)
+
+
+def test_checkpoint_async_serialized_and_atomic(tmp_path):
+    """Back-to-back async saves to the SAME dir must not interleave (the
+    second joins the first), parts are written tmp+rename, and the final
+    state is the last save's."""
+    from ofb_tpu.core import checkpoint as ckpt
+    space, params, alphas, arch = tiny()
+    d = str(tmp_path / "running")
+    for epoch in range(3):
+        bumped = jax.tree_util.tree_map(lambda x: x + epoch, params)
+        ckpt.save_checkpoint(d, params=bumped, meta={"epoch": epoch},
+                             async_write=True)
+    ckpt.wait_for_pending_saves()
+    # no stray tmp files left behind
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    p2 = init_mim_params(jax.random.PRNGKey(42), CFG, space)
+    r = ckpt.load_checkpoint(d, params=p2)
+    assert r["meta"]["epoch"] == 2
+    np.testing.assert_array_equal(
+        np.asarray(r["params"]["cls_token"]),
+        np.asarray(params["cls_token"]) + 2)
