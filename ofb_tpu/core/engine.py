@@ -122,11 +122,31 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
     return state, logger.averages()
 
 
+def _allsum_hosts(tot: Dict[str, float]) -> Dict[str, float]:
+    """Sum per-host partial eval sums across all processes (the analog of
+    SmoothedValue.synchronize_between_processes, reference utils.py:41-52).
+    No-op single-host; multi-host it rides a process allgather so every
+    host reports full-val-set statistics even when the val split is
+    rank-sharded."""
+    if jax.process_count() <= 1:
+        return tot
+    from jax.experimental import multihost_utils
+    keys = sorted(tot)
+    local = np.asarray([tot[k] for k in keys], np.float32)
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)).sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, summed)}
+
+
 def evaluate(eval_step: Callable, feed: Iterable, *args,
              print_fn=master_print, header: str = "Test:"
              ) -> Dict[str, float]:
     """Top-1/top-5/loss over a feed (reference engine.py:222-291).
-    `args` are the model state pieces the eval step expects."""
+    `args` are the model state pieces the eval step expects.
+
+    Multi-host correct: each host accumulates over its (rank-sharded)
+    feed, then the sums are all-reduced across processes, so the returned
+    stats cover the full validation set on every host."""
     tot = {"loss_sum": 0.0, "top1": 0.0, "top5": 0.0, "count": 0.0}
     for imgs, lbls in feed:
         if imgs.ndim == 5:          # (A, mb, ...) -> flatten accum
@@ -135,6 +155,7 @@ def evaluate(eval_step: Callable, feed: Iterable, *args,
         m = eval_step(*args, imgs, lbls)
         for k in tot:
             tot[k] += float(m[k])
+    tot = _allsum_hosts(tot)
     n = max(tot["count"], 1.0)
     stats = {"loss": tot["loss_sum"] / n, "acc1": 100.0 * tot["top1"] / n,
              "acc5": 100.0 * tot["top5"] / n}

@@ -397,7 +397,10 @@ def main(args):
                                        jax.device_get(state.alphas),
                                        state.arch, space)
 
-        # eval (reference search.py:725-740; rank-0 eval, full val set)
+        # eval (reference search.py:725-740): each host scores its shard
+        # of the val split; evaluate() all-reduces the sums across hosts,
+        # so test_stats (and the best-checkpoint decision keyed on it) are
+        # full-val-set numbers, identical on every process.
         if epoch % args.eval_every == 0 or epoch == scfg.epochs - 1:
             vloader = make_epoch_loader(
                 ds_val, epoch=0, rank=rank, world=world,

@@ -1,0 +1,76 @@
+"""Real 2-process jax.distributed tests (SURVEY §5.2; round-1 VERDICT
+weak #2 replaced the same-process tautology with this).
+
+Spawns two worker processes joined via a Gloo-backed coordination service,
+runs ONE sharded search step over the 2-process global mesh with
+DIFFERENT per-host batch halves, compresses host-side on each replica,
+and evaluates over a rank-sharded val feed. Asserts:
+
+  * both ranks print bitwise-identical compress-decision digests;
+  * both report identical FULL-val-set eval stats;
+  * those equal a single-process run of the same global batch.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multiproc_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_PROCESSES", None)
+    return subprocess.Popen([sys.executable, WORKER, *map(str, args)],
+                            env=env, cwd=REPO, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+def _last_json(out):
+    for line in reversed(out.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise AssertionError(f"no JSON line in: {out[-1500:]}")
+
+
+def test_two_process_consensus_and_full_set_eval():
+    port = _free_port()
+    p0 = _run([0, port])
+    p1 = _run([1, port])
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=600)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+    r0, r1 = _last_json(out0), _last_json(out1)
+
+    # identical prune decisions on every host, no collective needed
+    assert r0["digest"] == r1["digest"]
+    # every host reports the same full-set eval stats
+    assert r0["acc1"] == r1["acc1"] and r0["acc5"] == r1["acc5"]
+    np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-6)
+
+    # and they match a single-process run of the same global batch
+    ps = _run(["single"])
+    outs, errs = ps.communicate(timeout=600)
+    assert ps.returncode == 0, errs[-2000:]
+    rs = _last_json(outs)
+    assert rs["digest"] == r0["digest"]
+    assert rs["acc1"] == r0["acc1"] and rs["acc5"] == r0["acc5"]
+    np.testing.assert_allclose(rs["loss"], r0["loss"], rtol=1e-5)
