@@ -298,14 +298,15 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
 # ---------------------------------------------------------------------------
 
 def make_eval_step(space: SearchSpace, mcfg: ModelCfg, *,
-                   compute_dtype=jnp.bfloat16):
+                   compute_dtype=jnp.bfloat16, fused: bool = False):
     """Search-model eval (reference engine.py:222-257: model returns
-    (output, _); CE + top-1/top-5)."""
+    (output, _); CE + top-1/top-5). fused=True evaluates a post-fuse
+    supernet (scores folded into weights, gates off)."""
 
     @jax.jit
     def step(params, alphas, arch, images, labels):
         out = mim_forward(params, alphas, arch, images, mcfg, space,
-                          train=False, use_mim=False,
+                          train=False, use_mim=False, fused=fused,
                           compute_dtype=compute_dtype)
         return _cls_metrics(out.logits, labels)
 
