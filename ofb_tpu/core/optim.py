@@ -25,7 +25,7 @@ models/layers.py:280,633,943,247) — see `zero_adam_moments`.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -97,15 +97,19 @@ def tanh_schedule(base_lr: float, sched: ScheduleConfig, total_steps: int,
 def make_schedule(base_lr: float, sched: ScheduleConfig, total_steps: int,
                   steps_per_epoch: int) -> optax.Schedule:
     """Dispatch over the reference's scheduler set (lr_sched.py:44-123).
-    'plateau' needs a metric feedback loop and is handled host-side by
-    PlateauTracker below; the in-graph schedule is constant."""
+    'plateau' needs a metric feedback loop: the in-graph schedule is
+    constant and PlateauTracker's scale is applied through the lr_scale
+    slot in the optimizer state (see with_lr_scale / set_lr_scale)."""
     if sched.sched == "cosine":
         return cosine_schedule(base_lr, sched, total_steps, steps_per_epoch)
     if sched.sched == "tanh":
         return tanh_schedule(base_lr, sched, total_steps, steps_per_epoch)
     if sched.sched == "step":
         return step_schedule(base_lr, sched, steps_per_epoch)
-    return lambda count: base_lr
+    if sched.sched in ("plateau", "constant"):
+        return lambda count: base_lr
+    raise ValueError(f"unknown scheduler '{sched.sched}' "
+                     "(cosine | tanh | step | plateau | constant)")
 
 
 class PlateauTracker:
@@ -138,6 +142,42 @@ class PlateauTracker:
                                  self.min_scale)
                 self.bad_epochs = 0
         return self.scale
+
+
+# ---------------------------------------------------------------------------
+# Plateau scale plumbing: the tracker lives host-side; its scale is a slot
+# in the optimizer state multiplied onto every update tensor (equivalent to
+# scaling the lr, incl. the decoupled weight-decay term — same as torch's
+# ReduceLROnPlateau acting on AdamW's lr).
+# ---------------------------------------------------------------------------
+
+class LrScaleState(NamedTuple):
+    scale: jnp.ndarray            # f32 scalar, host-set between epochs
+    inner: Any
+
+
+def with_lr_scale(tx: optax.GradientTransformation
+                  ) -> optax.GradientTransformation:
+    """Wrap a transformation so its final updates are multiplied by a
+    host-controlled scalar held in the optimizer state (jit-stable: the
+    scale is an ordinary traced operand, no recompilation on change)."""
+
+    def init(params):
+        return LrScaleState(jnp.asarray(1.0, jnp.float32), tx.init(params))
+
+    def update(grads, state, params=None):
+        upd, inner = tx.update(grads, state.inner, params)
+        scale = state.scale
+        upd = jax.tree_util.tree_map(
+            lambda u: u * scale.astype(u.dtype), upd)
+        return upd, LrScaleState(scale, inner)
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_lr_scale(opt_state: LrScaleState, scale: float) -> LrScaleState:
+    """Host-side: write the PlateauTracker scale into the state."""
+    return opt_state._replace(scale=jnp.asarray(scale, jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -13,18 +13,22 @@ import numpy as np
 
 def distributed_indices(n: int, epoch: int, rank: int, world: int, *,
                         shuffle: bool = True, seed: int = 0,
-                        drop_last: bool = True) -> np.ndarray:
+                        drop_last: bool = False) -> np.ndarray:
     """torch.utils.data.DistributedSampler semantics: epoch-seeded shuffle,
-    pad to a multiple of world, stride by rank."""
+    then either pad to a multiple of world (drop_last=False, the torch
+    default) or drop the tail (drop_last=True), stride by rank."""
     g = np.random.RandomState(seed + epoch)
     idx = g.permutation(n) if shuffle else np.arange(n)
-    total = int(math.ceil(n / world)) * world
-    if total > n:
-        idx = np.concatenate([idx, idx[: total - n]])
-    out = idx[rank::world]
     if drop_last:
-        out = out[: len(out) // 1]
-    return out
+        # drop the tail so every rank gets exactly floor(n/world) samples
+        total = (n // world) * world
+        idx = idx[:total]
+    else:
+        # pad with wrapped-around indices up to a multiple of world
+        total = int(math.ceil(n / world)) * world
+        if total > n:
+            idx = np.concatenate([idx, idx[: total - n]])
+    return idx[rank::world]
 
 
 def ra_indices(n: int, epoch: int, rank: int, world: int, *,

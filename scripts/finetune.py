@@ -44,6 +44,9 @@ def get_args_parser():
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-6)
     p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--sched", default="cosine", type=str)
+    p.add_argument("--patience-epochs", default=10, type=int)
+    p.add_argument("--decay-rate", default=0.1, type=float)
     p.add_argument("--color-jitter", type=float, default=0.4)
     p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
     p.add_argument("--smoothing", type=float, default=0.1)
@@ -154,7 +157,8 @@ def main(args):
     from ofb_tpu.core import checkpoint as ckpt
     from ofb_tpu.core.engine import evaluate, train_one_epoch
     from ofb_tpu.core.lr_decay import build_finetune_optimizer
-    from ofb_tpu.core.optim import make_schedule
+    from ofb_tpu.core.optim import (PlateauTracker, make_schedule,
+                                    set_lr_scale, with_lr_scale)
     from ofb_tpu.core.steps import (TrainState, make_eval_step_dense,
                                     make_train_step)
     from ofb_tpu.config import DataConfig
@@ -199,8 +203,10 @@ def main(args):
                               seed=args.seed)
     steps_per_epoch = len(probe)
     total_micro = args.epochs * steps_per_epoch * args.accum_iter
-    sched_cfg = ScheduleConfig(warmup_lr=args.warmup_lr, min_lr=args.min_lr,
-                               warmup_epochs=args.warmup_epochs)
+    sched_cfg = ScheduleConfig(sched=args.sched, warmup_lr=args.warmup_lr,
+                               min_lr=args.min_lr,
+                               warmup_epochs=args.warmup_epochs,
+                               decay_rate=args.decay_rate)
     schedule = make_schedule(lr, sched_cfg, total_micro,
                              steps_per_epoch * args.accum_iter)
     tx = build_finetune_optimizer(
@@ -208,6 +214,11 @@ def main(args):
         betas=tuple(args.opt_betas), eps=args.opt_eps,
         weight_decay=args.weight_decay, layer_decay=args.layer_decay,
         num_layers=cfg.depth, clip_grad=args.clip_grad)
+    plateau = PlateauTracker(patience=args.patience_epochs,
+                             decay_rate=args.decay_rate) \
+        if args.sched == "plateau" else None
+    if plateau is not None:
+        tx = with_lr_scale(tx)
 
     mesh = make_mesh()
     params = replicate(mesh, params)
@@ -322,6 +333,10 @@ def main(args):
                           "exported": True, "model_cfg": _cfg_meta(cfg)})
             max_acc = max(max_acc, win_acc)
             master_print(f"Max accuracy: {max_acc:.2f}%")
+            if plateau is not None:
+                scale = plateau.update(win_acc)
+                state = state.replace(
+                    opt_state=set_lr_scale(state.opt_state, scale))
             logger.log_epoch(epoch, train_stats, test_stats, 0, 0.0)
 
     master_print(f"Finetune time "

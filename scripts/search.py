@@ -51,6 +51,10 @@ def get_args_parser():
     p.add_argument("--weight-decay-decoder", type=float, default=1e-3)
     p.add_argument("--clip-grad", type=float, default=None)
     p.add_argument("--sched", default="cosine", type=str)
+    p.add_argument("--patience-epochs", default=10, type=int,
+                   help="plateau scheduler patience (reference "
+                        "lr_sched.py:106-121)")
+    p.add_argument("--decay-rate", default=0.1, type=float)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--lr_arch", type=float, default=None)
     p.add_argument("--lr_decoder", type=float, default=None)
@@ -148,7 +152,9 @@ def main(args):
                                 SearchConfig)
     from ofb_tpu.core import checkpoint as ckpt
     from ofb_tpu.core.engine import evaluate, search_one_epoch
-    from ofb_tpu.core.optim import build_search_optimizer, make_trainable_mask
+    from ofb_tpu.core.optim import (PlateauTracker, build_search_optimizer,
+                                    make_trainable_mask, set_lr_scale,
+                                    with_lr_scale)
     from ofb_tpu.core.steps import (TrainState, make_eval_step,
                                     make_search_step)
     from ofb_tpu.data.datasets import build_dataset
@@ -168,7 +174,8 @@ def main(args):
 
     sched = ScheduleConfig(sched=args.sched, warmup_lr=args.warmup_lr,
                            min_lr=args.min_lr,
-                           warmup_epochs=args.warmup_epochs)
+                           warmup_epochs=args.warmup_epochs,
+                           decay_rate=args.decay_rate)
     scfg = SearchConfig(
         model=args.model, epochs=args.epochs, accum_iter=args.accum_iter,
         fuse_point=args.fuse_point, seed=args.seed,
@@ -269,6 +276,13 @@ def main(args):
         total_steps=total_micro,
         steps_per_epoch=steps_per_epoch * scfg.accum_iter,
         clip_grad=scfg.clip_grad, accum_iter=scfg.accum_iter)
+    # plateau: constant in-graph schedule, host-side tracker writes its
+    # scale into the optimizer state after each eval (lr_sched.py:106-121)
+    plateau = PlateauTracker(patience=args.patience_epochs,
+                             decay_rate=args.decay_rate) \
+        if args.sched == "plateau" else None
+    if plateau is not None:
+        tx = with_lr_scale(tx)
 
     mesh = make_mesh()
     params = replicate(mesh, params)
@@ -425,6 +439,10 @@ def main(args):
                     meta={"epoch": epoch, "acc1": test_stats["acc1"],
                           "finish_search": bool(finish_search)})
             max_soft_acc = max(max_soft_acc, test_stats["acc1"])
+            if plateau is not None:
+                scale = plateau.update(test_stats["acc1"])
+                state = state.replace(
+                    opt_state=set_lr_scale(state.opt_state, scale))
 
             total_p, searched_p = searched_params_count(
                 jax.device_get(state.alphas), state.arch, space, cfg)

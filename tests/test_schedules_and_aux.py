@@ -158,3 +158,44 @@ def test_checkpoint_async_serialized_and_atomic(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(r["params"]["cls_token"]),
         np.asarray(params["cls_token"]) + 2)
+
+
+def test_plateau_scale_shrinks_updates():
+    """End-to-end plateau path: tracker decays after patience epochs
+    without improvement and the with_lr_scale wrapper shrinks the actual
+    optimizer updates by that factor (round-1 VERDICT weak #5)."""
+    from ofb_tpu.core.optim import set_lr_scale, with_lr_scale
+    tx = with_lr_scale(optax.sgd(1.0))
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    u1, st = tx.update(g, st, params)
+
+    tr = PlateauTracker(patience=1, decay_rate=0.1)
+    assert tr.update(50.0) == 1.0       # first metric = best
+    assert tr.update(49.0) == 1.0       # bad epoch 1 (within patience)
+    scale = tr.update(48.0)             # bad epoch 2 -> decay
+    assert scale == pytest.approx(0.1)
+
+    st = set_lr_scale(st, scale)
+    u2, _ = tx.update(g, st, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]),
+                               np.asarray(u1["w"]) * 0.1, rtol=1e-6)
+
+
+def test_make_schedule_rejects_unknown():
+    from ofb_tpu.core.optim import make_schedule
+    with pytest.raises(ValueError):
+        make_schedule(1e-3, ScheduleConfig(sched="nope"), 100, 10)
+    # plateau/constant are valid and constant in-graph
+    fn = make_schedule(1e-3, ScheduleConfig(sched="plateau"), 100, 10)
+    assert float(fn(0)) == float(fn(99)) == pytest.approx(1e-3)
+
+
+def test_distributed_indices_drop_last():
+    from ofb_tpu.data.samplers import distributed_indices
+    parts = [distributed_indices(10, 0, r, 4, drop_last=True)
+             for r in range(4)]
+    assert all(len(p) == 2 for p in parts)          # floor(10/4) each
+    covered = np.concatenate(parts)
+    assert len(set(covered.tolist())) == 8          # tail dropped, no dups
