@@ -101,7 +101,9 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
             images, labels = mixup_cutmix(
                 rng_mix, images, labels, num_classes=mcfg.num_classes,
                 mixup_alpha=0.8, cutmix_alpha=1.0,
+                cutmix_minmax=scfg.mixup.cutmix_minmax,
                 prob=scfg.mixup.prob, switch_prob=scfg.mixup.switch_prob,
+                mode=scfg.mixup.mode,
                 label_smoothing=scfg.mixup.label_smoothing)
             soft = True
         out = mim_forward(params, alphas, arch, images, mcfg, space,
@@ -237,7 +239,9 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
             images, labels = mixup_cutmix(
                 rng_mix, images, labels, num_classes=num_classes,
                 mixup_alpha=mixup_cfg.mixup, cutmix_alpha=mixup_cfg.cutmix,
+                cutmix_minmax=mixup_cfg.cutmix_minmax,
                 prob=mixup_cfg.prob, switch_prob=mixup_cfg.switch_prob,
+                mode=mixup_cfg.mode,
                 label_smoothing=mixup_cfg.label_smoothing)
             soft = True
         out = vit_forward(params, images, mcfg, train=True, rng=rng_fwd,

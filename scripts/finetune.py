@@ -56,8 +56,13 @@ def get_args_parser():
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--cutmix-minmax", type=float, nargs="+",
+                   default=None,
+                   help="cutmix min/max ratio (overrides alpha; reference search.py:151)")
     p.add_argument("--mixup-prob", type=float, default=1.0)
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    p.add_argument("--mixup-mode", type=str, default="batch",
+                   choices=["batch", "pair", "elem"])
     p.add_argument("--teacher-model", default="deit_base_patch16_224")
     p.add_argument("--teacher-path", default="", type=str)
     p.add_argument("--distillation-type", default="none",
@@ -241,6 +246,9 @@ def main(args):
     mix = MixupConfig(mixup=args.mixup, cutmix=args.cutmix,
                       prob=args.mixup_prob,
                       switch_prob=args.mixup_switch_prob,
+                      cutmix_minmax=tuple(args.cutmix_minmax)
+                      if args.cutmix_minmax else None,
+                      mode=args.mixup_mode,
                       label_smoothing=args.smoothing)
     teacher_apply = None
     distill = DistillationConfig(distillation_type=args.distillation_type,

@@ -74,8 +74,13 @@ def get_args_parser():
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--mixup", type=float, default=0.0)
     p.add_argument("--cutmix", type=float, default=0.0)
+    p.add_argument("--cutmix-minmax", type=float, nargs="+",
+                   default=None,
+                   help="cutmix min/max ratio (overrides alpha; reference search.py:151)")
     p.add_argument("--mixup-prob", type=float, default=1.0)
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    p.add_argument("--mixup-mode", type=str, default="batch",
+                   choices=["batch", "pair", "elem"])
     # distillation (reference search.py:158-164)
     p.add_argument("--teacher-model", default="regnety_160", type=str)
     p.add_argument("--teacher-path", default="", type=str)
@@ -215,6 +220,9 @@ def main(args):
         mixup=MixupConfig(mixup=args.mixup, cutmix=args.cutmix,
                           prob=args.mixup_prob,
                           switch_prob=args.mixup_switch_prob,
+                      cutmix_minmax=tuple(args.cutmix_minmax)
+                      if args.cutmix_minmax else None,
+                      mode=args.mixup_mode,
                           label_smoothing=args.smoothing),
         distillation=DistillationConfig(
             teacher_model=args.teacher_model, teacher_path=args.teacher_path,

@@ -263,3 +263,46 @@ def test_freeze_weights_mask():
     assert pm["blocks"][0]["norm1"]["scale"] == 1.0
     assert pm["head"]["kernel"] == 1.0
     assert pm["decoder"]["conv"]["kernel"] == 1.0
+
+
+def test_mixup_modes_and_minmax():
+    """timm parity surface: pair/elem modes and cutmix_minmax boxes
+    (reference search.py:148-156 flags)."""
+    rs = np.random.RandomState(1)
+    imgs = jnp.asarray(rs.rand(8, 16, 16, 3), jnp.float32)
+    lbls = jnp.asarray(rs.randint(0, 10, (8,)))
+
+    for mode in ("batch", "pair", "elem"):
+        out_im, out_y = mixup_cutmix(jax.random.PRNGKey(3), imgs, lbls,
+                                     num_classes=10, mode=mode)
+        np.testing.assert_allclose(np.array(out_y.sum(-1)), np.ones(8),
+                                   rtol=1e-5)
+        # every output pixel is a convex combination of x[i] and x[B-1-i]
+        lo = np.minimum(np.asarray(imgs), np.asarray(imgs)[::-1]) - 1e-6
+        hi = np.maximum(np.asarray(imgs), np.asarray(imgs)[::-1]) + 1e-6
+        assert (np.asarray(out_im) >= lo).all()
+        assert (np.asarray(out_im) <= hi).all()
+
+    # pair mode: params shared per (i, B-1-i) pair -> label lambdas mirror
+    _, y_pair = mixup_cutmix(jax.random.PRNGKey(5), imgs, lbls,
+                             num_classes=10, mode="pair",
+                             label_smoothing=0.0, switch_prob=0.0)
+    oh = np.asarray(jax.nn.one_hot(lbls, 10))
+    lam = (np.asarray(y_pair) * oh).sum(-1)   # weight on own label
+    distinct = oh.argmax(-1) != oh[::-1].argmax(-1)
+    np.testing.assert_allclose(lam[distinct], lam[::-1][distinct], atol=1e-6)
+
+    # cutmix_minmax: pure-cut draws, box area ratio within [0.2, 0.8]^2
+    out_im, out_y = mixup_cutmix(jax.random.PRNGKey(7), imgs, lbls,
+                                 num_classes=10, mixup_alpha=0.0,
+                                 cutmix_alpha=0.0, cutmix_minmax=(0.2, 0.8),
+                                 mode="elem", label_smoothing=0.0)
+    lam = (np.asarray(out_y) * oh).sum(-1)
+    same = oh.argmax(-1) == oh[::-1].argmax(-1)
+    # lam = 1 - cut_h*cut_w/(H*W) in [1 - 0.8^2, 1 - 0.2^2]
+    assert ((lam[~same] >= 1 - 0.64 - 1e-6)
+            & (lam[~same] <= 1 - 0.04 + 1e-6)).all()
+    # the pasted region is exactly the flipped image's pixels
+    diff = np.abs(np.asarray(out_im) - np.asarray(imgs)).sum(-1) > 1e-6
+    fmatch = np.abs(np.asarray(out_im) - np.asarray(imgs)[::-1]).sum(-1) < 1e-6
+    assert (fmatch[diff]).all()
