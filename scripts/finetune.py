@@ -255,22 +255,11 @@ def main(args):
                                  alpha=args.distillation_alpha,
                                  tau=args.distillation_tau)
     if args.distillation_type != "none":
-        import torch
-        from ofb_tpu.models.registry import create_model
-        from ofb_tpu.models.torch_import import torch_state_dict_to_params
-        tbundle = create_model(getattr(args, "teacher_model",
-                                       "deit_base_patch16_224"),
-                               num_classes=nb_classes)
-        tparams = tbundle.init(jax.random.PRNGKey(7))
-        if getattr(args, "teacher_path", ""):
-            tsd = torch.load(args.teacher_path, map_location="cpu")
-            tparams = torch_state_dict_to_params(tsd.get("model", tsd),
-                                                 tbundle.cfg, tparams)
-        tparams = replicate(mesh, tparams)
-
-        def teacher_apply(images, _tb=tbundle, _tp=tparams):
-            return _tb.apply(_tp, images, train=False,
-                             compute_dtype=compute)
+        from ofb_tpu.models.teacher import build_teacher
+        teacher_apply = build_teacher(
+            getattr(args, "teacher_model", "regnety_160"),
+            teacher_path=getattr(args, "teacher_path", ""),
+            num_classes=nb_classes, mesh=mesh, compute_dtype=compute)
 
     step_fn = make_train_step(cfg, tx, num_classes=nb_classes,
                               mixup_cfg=mix, smoothing=args.smoothing,

@@ -325,30 +325,15 @@ def main(args):
         w_mlp=scfg.w_mlp, w_patch=scfg.w_patch, w_embedding=scfg.w_embedding)
 
     # teacher model for KD (reference search.py:587-604). The reference's
-    # default teacher is timm regnety_160; we support any registry (ViT/DeiT)
-    # teacher loaded from a torch checkpoint.
+    # default teacher is timm regnety_160 (a convnet); both RegNetY and any
+    # registry ViT/DeiT teacher are supported, loaded from torch checkpoints.
     teacher_apply = None
     if scfg.distillation.distillation_type != "none":
-        import torch
-        from ofb_tpu.models.torch_import import torch_state_dict_to_params
-        tname = scfg.distillation.teacher_model
-        try:
-            tbundle = create_model(tname, num_classes=nb_classes)
-        except KeyError as e:
-            raise SystemExit(
-                f"teacher model '{tname}' is not in the registry "
-                f"(CNN teachers like regnety_160 are not supported; use a "
-                f"ViT/DeiT teacher)") from e
-        tparams = tbundle.init(jax.random.PRNGKey(7))
-        if scfg.distillation.teacher_path:
-            tsd = torch.load(scfg.distillation.teacher_path,
-                             map_location="cpu")
-            tsd = tsd.get("model", tsd)
-            tparams = torch_state_dict_to_params(tsd, tbundle.cfg, tparams)
-        tparams = replicate(mesh, tparams)
-
-        def teacher_apply(images, _tb=tbundle, _tp=tparams):
-            return _tb.apply(_tp, images, train=False, compute_dtype=compute)
+        from ofb_tpu.models.teacher import build_teacher
+        teacher_apply = build_teacher(
+            scfg.distillation.teacher_model,
+            teacher_path=scfg.distillation.teacher_path,
+            num_classes=nb_classes, mesh=mesh, compute_dtype=compute)
 
     def build_step(phase):
         # stage-2 of the two-stage flow trains the *fused* supernet

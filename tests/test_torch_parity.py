@@ -125,3 +125,114 @@ def test_state_dict_roundtrip():
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# RegNetY teacher parity (reference search.py:158: timm regnety_160 is the
+# default KD teacher). A torch RegNetY with timm state-dict naming, random
+# weights AND random BN running stats, imported through
+# torch_regnet_to_params — validates conv layout, grouped conv, SE, BN
+# folding, and the downsample path.
+# ---------------------------------------------------------------------------
+
+class _TConvBn(nn.Module):
+    def __init__(self, cin, cout, k, s, groups=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, padding=k // 2,
+                              groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.bn(self.conv(x))
+
+
+class _TYBlock(nn.Module):
+    def __init__(self, w_in, w_out, stride, gw, se_ratio=0.25):
+        super().__init__()
+        g = w_out // gw
+        self.conv1 = _TConvBn(w_in, w_out, 1, 1)
+        self.conv2 = _TConvBn(w_out, w_out, 3, stride, groups=g)
+        self.se = nn.Module()
+        se_c = max(1, int(round(se_ratio * w_in)))
+        self.se.fc1 = nn.Conv2d(w_out, se_c, 1)
+        self.se.fc2 = nn.Conv2d(se_c, w_out, 1)
+        self.conv3 = _TConvBn(w_out, w_out, 1, 1)
+        if stride != 1 or w_in != w_out:
+            self.downsample = _TConvBn(w_in, w_out, 1, stride)
+
+    def forward(self, x):
+        h = F.relu(self.conv1(x))
+        h = F.relu(self.conv2(h))
+        s = h.mean((2, 3), keepdim=True)
+        s = torch.sigmoid(self.se.fc2(F.relu(self.se.fc1(s))))
+        h = self.conv3(h * s)
+        sc = self.downsample(x) if hasattr(self, "downsample") else x
+        return F.relu(sc + h)
+
+
+class _TRegNetY(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.stem = _TConvBn(3, cfg.stem_width, 3, 2)
+        w_in = cfg.stem_width
+        for s in range(cfg.num_stages):
+            stage = nn.Module()
+            for b in range(cfg.depths[s]):
+                setattr(stage, f"b{b + 1}",
+                        _TYBlock(w_in, cfg.widths[s], 2 if b == 0 else 1,
+                                 cfg.group_width, cfg.se_ratio))
+                w_in = cfg.widths[s]
+            setattr(self, f"s{s + 1}", stage)
+        self.head = nn.Module()
+        self.head.fc = nn.Linear(cfg.widths[-1], cfg.num_classes)
+        self.cfg = cfg
+
+    def forward(self, x):
+        h = F.relu(self.stem(x))
+        for s in range(self.cfg.num_stages):
+            stage = getattr(self, f"s{s + 1}")
+            for b in range(self.cfg.depths[s]):
+                h = getattr(stage, f"b{b + 1}")(h)
+        return self.head.fc(h.mean((2, 3)))
+
+
+def test_regnet_teacher_parity():
+    from ofb_tpu.models.regnet import (RegNetCfg, regnet_forward,
+                                       torch_regnet_to_params)
+    cfg = RegNetCfg(depths=(1, 2), widths=(16, 32), group_width=8,
+                    stem_width=8, num_classes=10)
+    tnet = _TRegNetY(cfg)
+    # non-trivial BN running stats so the folding path is really tested
+    g = torch.Generator().manual_seed(0)
+    for m in tnet.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean = torch.randn(m.num_features, generator=g) * 0.5
+            m.running_var = torch.rand(m.num_features, generator=g) + 0.5
+            m.weight.data = torch.rand(m.num_features, generator=g) + 0.5
+            m.bias.data = torch.randn(m.num_features, generator=g) * 0.1
+    tnet.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_regnet_to_params(sd, cfg)
+
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(regnet_forward(params, jnp.asarray(x), cfg,
+                                    compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_regnety_160_shapes():
+    """The full teacher builds and runs at its published parameterization
+    (224x448x1232x3024, group 112 -> 2/4/11/27 groups per stage)."""
+    from ofb_tpu.models.regnet import (REGNET_CFGS, init_regnet_params,
+                                       regnet_forward)
+    import dataclasses
+    cfg = dataclasses.replace(REGNET_CFGS["regnety_160"], num_classes=7)
+    params = init_regnet_params(jax.random.PRNGKey(0), cfg)
+    k2 = params["stages"][2][0]["conv2"]["kernel"]
+    assert k2.shape == (3, 3, 1232 // 11, 1232)     # grouped conv slices cin
+    x = jnp.zeros((1, 64, 64, 3))                   # small spatial is fine
+    out = regnet_forward(params, x, cfg, compute_dtype=jnp.float32)
+    assert out.shape == (1, 7)
