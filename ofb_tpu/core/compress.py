@@ -241,6 +241,39 @@ def compress(params, alphas, arch: ArchState, opt_state,
                                      jnp.asarray(upd["score"]))
                 zero_paths.append("0.patch_embed.score")
 
+    # --- per-stage embed widths (Swin; patch merging ties each stage's
+    #     residual width — same 1-D machinery as the ViT embed, score at
+    #     params["stages"][s]["embed_score"]) ------------------------------
+    new_stage_embeds = list(arch.stage_embeds)
+    for s, ds in enumerate(space.stage_embeds):
+        ea = arch.stage_embeds[s]
+        if not ds.searchable or bool(ea.finished):
+            continue
+        upd = _compress_dim(_np(alphas["stage_embeds"][s]), _np(ea.switch),
+                            _np(params["stages"][s]["embed_score"]),
+                            _np(ea.hard_mask), float(ea.w_p), thresh, ds)
+        if upd["pruned"]:
+            report.execute_prune = True
+            report.events.append(
+                f"stage{s}.embed: prune event"
+                + (" (converged)" if upd["finished"] else ""))
+            se = list(new_alphas.get("stage_embeds", alphas["stage_embeds"]))
+            se[s] = jnp.asarray(upd["alpha"], jnp.float32)
+            new_alphas["stage_embeds"] = se
+            rep = dict(switch=jnp.asarray(upd["switch"]),
+                       finished=jnp.asarray(upd["finished"]))
+            if "hard" in upd:
+                rep["hard_mask"] = jnp.asarray(upd["hard"], jnp.float32)
+            new_stage_embeds[s] = ea.replace(**rep)
+            zero_paths.append(f"1.stage_embeds.{s}")
+            if "score" in upd:
+                new_params = _set_in(new_params,
+                                     ("stages", s, "embed_score"),
+                                     jnp.asarray(upd["score"]))
+                zero_paths.append(f"0.stages.{s}.embed_score")
+    if new_stage_embeds:
+        arch_updates["stage_embeds"] = tuple(new_stage_embeds)
+
     # --- per-block attn / mlp -------------------------------------------
     new_block_arches = list(arch.blocks)
     for i, bs in enumerate(space.blocks):
@@ -357,7 +390,8 @@ def _finish_singletons(arch: ArchState, space: SearchSpace) -> ArchState:
         embed=fin_dim(arch.embed),
         blocks=tuple(b.replace(attn=fin_attn(b.attn), mlp=fin_dim(b.mlp))
                      for b in arch.blocks),
-        patch=pa)
+        patch=pa,
+        stage_embeds=tuple(fin_dim(d) for d in arch.stage_embeds))
 
 
 def _block_path(params, i: int) -> Tuple:
@@ -444,4 +478,5 @@ def update_w_p(arch: ArchState, frac_epoch: float, warmup_epochs: float,
     return arch.replace(
         embed=upd_dim(arch.embed),
         blocks=tuple(b.replace(attn=upd_attn(b.attn), mlp=upd_dim(b.mlp))
-                     for b in arch.blocks))
+                     for b in arch.blocks),
+        stage_embeds=tuple(upd_dim(d) for d in arch.stage_embeds))

@@ -180,6 +180,19 @@ def sparsity_losses(params, alphas, arch: ArchState, space: SearchSpace, *,
                 _score_norm(params["patch_embed"]["score"],
                             arch.embed.hard_mask, 1e-4), 0.0)
         loss_embed = loss_embed + l
+    for s, ds in enumerate(space.stage_embeds):
+        # Swin per-stage widths contribute to the embed group
+        if not ds.searchable:
+            continue
+        ea = arch.stage_embeds[s]
+        l = _cell_loss(alphas["stage_embeds"][s], ea.switch, entropy=entropy,
+                       var=var, divide_var_by_n=True)
+        if norm:
+            l = l + jnp.where(
+                jnp.sum(ea.switch) > 1,
+                _score_norm(params["stages"][s]["embed_score"],
+                            ea.hard_mask, 1e-4), 0.0)
+        loss_embed = loss_embed + l
 
     loss_attn = zero
     loss_mlp = zero

@@ -40,6 +40,35 @@ class SyntheticDataset:
         return img, int(i % self.num_classes)
 
 
+class DigitsDataset:
+    """sklearn's bundled handwritten-digits set (1,797 real 8x8 images,
+    10 classes) — the only real image data available offline in this
+    environment; used for the end-to-end accuracy story (dense vs searched
+    subnet). Deterministic 80/20 split, bicubic-upscaled to the staging
+    square at construction."""
+
+    def __init__(self, is_train: bool, staging: int):
+        from PIL import Image
+        from sklearn.datasets import load_digits
+        d = load_digits()
+        n = len(d.images)
+        idx = np.random.RandomState(0).permutation(n)
+        cut = int(n * 0.8)
+        idx = idx[:cut] if is_train else idx[cut:]
+        self.labels = d.target[idx].astype(np.int64)
+        imgs = (d.images[idx] * (255.0 / 16.0)).astype(np.uint8)
+        self.images = np.stack([
+            np.asarray(Image.fromarray(im).convert("RGB").resize(
+                (staging, staging), Image.BICUBIC), np.uint8)
+            for im in imgs])
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.images[i], int(self.labels[i])
+
+
 class _ResizeU8:
     """Shorter-side resize + center crop to the staging square, uint8 HWC."""
 
@@ -207,6 +236,8 @@ def build_dataset(is_train: bool, cfg: DataConfig, staging: int = 256
     if name == "SYNTHETIC":
         return (SyntheticDataset(cfg.synthetic_size, cfg.synthetic_num_classes,
                                  staging), cfg.synthetic_num_classes)
+    if name == "DIGITS":
+        return DigitsDataset(is_train, staging), 10
     if name == "CIFAR10":
         return CifarDataset(cfg.data_path, is_train, staging), 10
     if name == "CIFAR100":

@@ -44,7 +44,7 @@ from flax import struct
 def embed_ratio_grid(embed_dim: int) -> Tuple[float, ...]:
     """Patch-embed width grid (reference models/layers.py:143-146):
     ratios i/D for i in range(D//2, D+1, min(D//32, 12))."""
-    step = min(embed_dim // 32, 12)
+    step = max(min(embed_dim // 32, 12), 1)
     return tuple(i / embed_dim for i in range(embed_dim // 2, embed_dim + 1, step))
 
 
@@ -188,11 +188,16 @@ class BlockSpace:
 
 @dataclass(frozen=True)
 class SearchSpace:
-    """Whole-model static search space."""
+    """Whole-model static search space.
+
+    stage_embeds: per-stage residual-width spaces for hierarchical models
+    (Swin) where patch merging ties widths across stages — empty for ViT,
+    whose single width lives in `embed`."""
 
     embed: DimSpace
     blocks: Tuple[BlockSpace, ...]
     patch: PatchSpace
+    stage_embeds: Tuple[DimSpace, ...] = ()
 
     @staticmethod
     def build(embed_dim: int, depth: int, num_heads: int, mlp_hidden: int,
@@ -297,6 +302,7 @@ class ArchState:
     blocks: Tuple[BlockArch, ...]
     patch: PatchArch
     fused: jnp.ndarray           # bool scalar — scores folded into weights
+    stage_embeds: Tuple[DimArch, ...] = ()   # per-stage widths (Swin)
 
     @staticmethod
     def create(space: SearchSpace) -> "ArchState":
@@ -309,12 +315,16 @@ class ArchState:
             ),
             patch=PatchArch.create(space.patch),
             fused=jnp.asarray(False),
+            stage_embeds=tuple(DimArch.create(d)
+                               for d in space.stage_embeds),
         )
 
     @property
     def all_finished(self) -> bool:
         """finish_search of the whole model (host-side check)."""
         done = bool(self.embed.finished) and bool(self.patch.finished)
+        for d in self.stage_embeds:
+            done = done and bool(d.finished)
         for b in self.blocks:
             done = done and bool(b.attn.finished) and bool(b.mlp.finished)
         return done

@@ -175,9 +175,14 @@ def _window_attention(p: Params, x: jnp.ndarray, heads: int, w: int,
                       mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """x: (B*nW, w*w, C). Softmax in fp32 with relative position bias and
     the optional shifted-window mask."""
-    Bw, N, C = x.shape
-    hd = C // heads
-    qkv = linear(p["qkv"], x).reshape(Bw, N, 3, heads, hd)
+    Bw, N, _ = x.shape
+    qkv = linear(p["qkv"], x)
+    # widths are shape-driven: an embed-sliced export keeps the dense qkv
+    # inner width while the residual C shrinks, so derive hd from the qkv
+    # output, not from C
+    Cq = qkv.shape[-1] // 3
+    hd = Cq // heads
+    qkv = qkv.reshape(Bw, N, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
     attn = attn * (hd ** -0.5)
@@ -190,7 +195,7 @@ def _window_attention(p: Params, x: jnp.ndarray, heads: int, w: int,
             mask[None, :, None]
         attn = attn.reshape(Bw, heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, Cq)
     return linear(p["proj"], y)
 
 

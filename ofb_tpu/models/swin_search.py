@@ -38,8 +38,13 @@ from ..ops.gates import layer_norm
 
 
 def build_swin_space(cfg: SwinCfg, *, attn_search=True, mlp_search=True,
-                     head_search=False, channel_search=False) -> SearchSpace:
-    """Per-block spaces across all stages; embed/patch born finished."""
+                     head_search=False, channel_search=False,
+                     embed_search=False) -> SearchSpace:
+    """Per-block spaces across all stages; the global embed/patch slots are
+    born finished. embed_search=True adds a per-stage residual-width
+    DimSpace whose keep set propagates through the patch-merging concat
+    (the OFB-Swin extension; reference README.md:27-31 lists the family
+    without shipping code)."""
     blocks: List[BlockSpace] = []
     for s in range(cfg.num_stages):
         dim = cfg.stage_dim(s)
@@ -56,10 +61,15 @@ def build_swin_space(cfg: SwinCfg, *, attn_search=True, mlp_search=True,
                                          hidden // 8)) if mlp_search
                              else (1.0,), mlp_search),
             ))
+    from .search_space import embed_ratio_grid
+    stage_embeds = tuple(
+        DimSpace(cfg.stage_dim(s), embed_ratio_grid(cfg.stage_dim(s)), True)
+        for s in range(cfg.num_stages)) if embed_search else ()
     return SearchSpace(
         embed=DimSpace(cfg.embed_dim, (1.0,), False),
         blocks=tuple(blocks),
         patch=PatchSpace(1, (1.0,), False),
+        stage_embeds=stage_embeds,
     )
 
 
@@ -99,6 +109,15 @@ def init_swin_search(key, cfg: SwinCfg, space: SearchSpace):
         "embed": jnp.ones((1,)),
         "blocks": alphas_blocks,
     }
+    if space.stage_embeds:
+        ekeys = jax.random.split(jax.random.fold_in(key, 99),
+                                 2 * len(space.stage_embeds))
+        alphas["stage_embeds"] = [
+            jax.random.uniform(ekeys[2 * s], (ds.num_cells,))
+            for s, ds in enumerate(space.stage_embeds)]
+        for s, ds in enumerate(space.stage_embeds):
+            params["stages"][s]["embed_score"] = 0.2 * jax.random.normal(
+                ekeys[2 * s + 1], (ds.dim,))
     return params, alphas, ArchState.create(space)
 
 
@@ -132,19 +151,53 @@ def _gated_window_attention(p, x, heads, w, rel_idx, mask, blk_alphas,
     return linear(p["proj"], y)
 
 
+def _stage_embed_gates(params, alphas, arch: ArchState, space: SearchSpace,
+                       fused: bool):
+    """Per-stage (gate, support, hard) triples, or None without embed
+    search. Mirrors the ViT embed_gates (mim_vit.py:112-126): gate is the
+    weighted embedding applied at the stage's stream SOURCE (patch embed /
+    patch-merging reduction), support masks the LN moments, hard masks
+    residual writes."""
+    if not space.stage_embeds:
+        return None
+    out = []
+    for s, ds in enumerate(space.stage_embeds):
+        ea = arch.stage_embeds[s]
+        if fused:
+            out.append((ea.hard_mask, ea.hard_mask, ea.hard_mask))
+            continue
+        gate, restore = G.bimask_gate_1d(
+            params["stages"][s]["embed_score"], alphas["stage_embeds"][s],
+            ea.switch, jnp.asarray(ds.mask_bank), ea.hard_mask, ea.w_p,
+            ea.finished)
+        support = jnp.where(ea.finished, ea.hard_mask,
+                            (restore > 0).astype(jnp.float32))
+        out.append((gate, support, ea.hard_mask))
+    return out
+
+
 def swin_search_forward(params: Params, alphas, arch: ArchState,
                         x: jnp.ndarray, cfg: SwinCfg, space: SearchSpace, *,
                         train: bool = False, fused: bool = False, rng=None,
                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Gated Swin forward; returns fp32 logits."""
     x = x.astype(compute_dtype)
+    eg = _stage_embed_gates(params, alphas, arch, space, fused)
     kern = params["patch_embed"]["proj"]["kernel"].astype(x.dtype)
     p = cfg.patch_size
     h = jax.lax.conv_general_dilated(
         x, kern, (p, p), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     h = h + params["patch_embed"]["proj"]["bias"].astype(x.dtype)
-    h = layer_norm(h, params["patch_embed"]["norm"]["scale"],
-                   params["patch_embed"]["norm"]["bias"], eps=cfg.ln_eps)
+    if eg is not None:
+        g0, s0, _ = eg[0]
+        if not fused:
+            h = h * (g0 * s0).astype(h.dtype)
+        h = G.masked_layer_norm(h, s0, params["patch_embed"]["norm"]["scale"],
+                                params["patch_embed"]["norm"]["bias"],
+                                eps=cfg.ln_eps, passthrough="zero")
+    else:
+        h = layer_norm(h, params["patch_embed"]["norm"]["scale"],
+                       params["patch_embed"]["norm"]["bias"], eps=cfg.ln_eps)
 
     w = cfg.window
     rel_idx = jnp.asarray(relative_position_index(w))
@@ -156,14 +209,24 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
     for s, stage in enumerate(params["stages"]):
         res = cfg.stage_res(s)
         heads = cfg.num_heads[s]
+        support = eg[s][1] if eg is not None else None
+        hard = eg[s][2] if eg is not None else None
+
+        def _ln(x2d, lp, passthrough="identity"):
+            if support is None:
+                return layer_norm(x2d, lp["scale"], lp["bias"],
+                                  eps=cfg.ln_eps)
+            return G.masked_layer_norm(x2d, support, lp["scale"],
+                                       lp["bias"], eps=cfg.ln_eps,
+                                       passthrough=passthrough)
+
         shift_mask = jnp.asarray(shifted_window_mask(res, w, w // 2)) \
             if res > w else None
         for b, bp in enumerate(stage["blocks"]):
             shift = (w // 2) if (b % 2 == 1 and res > w) else 0
             B_, H_, W_, C_ = h.shape
-            sc = layer_norm(h.reshape(B_, -1, C_), bp["norm1"]["scale"],
-                            bp["norm1"]["bias"],
-                            eps=cfg.ln_eps).reshape(B_, H_, W_, C_)
+            sc = _ln(h.reshape(B_, -1, C_),
+                     bp["norm1"]).reshape(B_, H_, W_, C_)
             if shift:
                 sc = jnp.roll(sc, (-shift, -shift), axis=(1, 2))
             win = window_partition(sc, w)
@@ -172,12 +235,15 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
                 shift_mask if shift else None, alphas["blocks"][gi],
                 arch.blocks[gi], space.blocks[gi], fused)
             att = window_reverse(att, w, H_, W_)
+            if hard is not None:
+                # residual writes masked to live channels (the reference
+                # slices proj rows at embed prune events)
+                att = att * hard.astype(att.dtype)
             if shift:
                 att = jnp.roll(att, (shift, shift), axis=(1, 2))
             h = h + drop_path(att, dps[gi], next(rngs), train)
 
-            mlp_in = layer_norm(h.reshape(B_, -1, C_), bp["norm2"]["scale"],
-                                bp["norm2"]["bias"], eps=cfg.ln_eps)
+            mlp_in = _ln(h.reshape(B_, -1, C_), bp["norm2"])
             y = linear(bp["mlp"]["fc1"], mlp_in)
             m = arch.blocks[gi].mlp
             if not fused:
@@ -188,6 +254,8 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
                 y = y * gate.astype(y.dtype)
             y = jax.nn.gelu(y, approximate=False)
             y = linear(bp["mlp"]["fc2"], y).reshape(B_, H_, W_, C_)
+            if hard is not None:
+                y = y * hard.astype(y.dtype)
             h = h + drop_path(y, dps[gi], next(rngs), train)
             gi += 1
 
@@ -196,14 +264,37 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
             h = h.reshape(B_, H_ // 2, 2, W_ // 2, 2, C_)
             h = h.transpose(0, 1, 3, 4, 2, 5).reshape(
                 B_, H_ // 2, W_ // 2, 4 * C_)
-            h = layer_norm(h, stage["downsample"]["norm"]["scale"],
-                           stage["downsample"]["norm"]["bias"],
-                           eps=cfg.ln_eps)
+            if support is None:
+                h = layer_norm(h, stage["downsample"]["norm"]["scale"],
+                               stage["downsample"]["norm"]["bias"],
+                               eps=cfg.ln_eps)
+            else:
+                # channel c of stage s appears at positions j*C + c in the
+                # 2x2 concat -> the support tiles 4x
+                h = G.masked_layer_norm(
+                    h, jnp.tile(support, 4),
+                    stage["downsample"]["norm"]["scale"],
+                    stage["downsample"]["norm"]["bias"], eps=cfg.ln_eps,
+                    passthrough="zero")
             h = h @ stage["downsample"]["reduction"]["kernel"].astype(h.dtype)
+            if eg is not None:
+                # the reduction is the source of stage s+1's stream: apply
+                # the next stage's weighted embedding (patch-embed analog)
+                g1, s1, _ = eg[s + 1]
+                if not fused:
+                    h = h * (g1 * s1).astype(h.dtype)
+                else:
+                    h = h * s1.astype(h.dtype)
 
     B_, H_, W_, C_ = h.shape
-    h = layer_norm(h.reshape(B_, -1, C_), params["norm"]["scale"],
-                   params["norm"]["bias"], eps=cfg.ln_eps)
+    if eg is not None:
+        h = G.masked_layer_norm(h.reshape(B_, -1, C_), eg[-1][1],
+                                params["norm"]["scale"],
+                                params["norm"]["bias"], eps=cfg.ln_eps,
+                                passthrough="zero")
+    else:
+        h = layer_norm(h.reshape(B_, -1, C_), params["norm"]["scale"],
+                       params["norm"]["bias"], eps=cfg.ln_eps)
     feat = jnp.mean(h, axis=1)
     return linear(params["head"], feat).astype(jnp.float32)
 
@@ -215,16 +306,26 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
 
 def swin_model_flops(alphas, arch: ArchState, space: SearchSpace,
                      cfg: SwinCfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def stage_de(s):
+        """Searched alive width of stage s (dense width without search)."""
+        if not space.stage_embeds:
+            return jnp.asarray(float(cfg.stage_dim(s)), jnp.float32)
+        return jnp.sum(
+            masked_softmax(alphas["stage_embeds"][s],
+                           arch.stage_embeds[s].switch)
+            * jnp.asarray(space.stage_embeds[s].cell_sizes))
+
     total = 0.0
     searched = jnp.asarray(0.0, jnp.float32)
     p2 = float(cfg.patch_size ** 2)
     res0 = cfg.stage_res(0)
     total += (res0 ** 2) * cfg.embed_dim * 3.0 * p2
-    searched = searched + (res0 ** 2) * cfg.embed_dim * 3.0 * p2
+    searched = searched + (res0 ** 2) * stage_de(0) * 3.0 * p2
     gi = 0
     w2 = float(cfg.window ** 2)
     for s in range(cfg.num_stages):
         dim = float(cfg.stage_dim(s))
+        de = stage_de(s)
         res = cfg.stage_res(s)
         tokens = float(res * res)
         n_win = tokens / w2
@@ -247,29 +348,40 @@ def swin_model_flops(alphas, arch: ArchState, space: SearchSpace,
                               * w2 * w2)
             total += tokens * dim * dim + tokens * dim
             total += (2.0 * dim * hidden + dim + hidden) * tokens
-            searched = searched + 2.0 * dim * tokens
-            searched = searched + tokens * dim * 3.0 * sd / (heads * hd) \
+            searched = searched + 2.0 * de * tokens
+            searched = searched + tokens * de * 3.0 * sd / (heads * hd) \
                 * dim + 3.0 * tokens * sd
             aH = ba.attn.head_alive.astype(jnp.float32)
             searched = searched + n_win * (sd / (heads * hd) * heads * w2
                                            * hd * w2 * 2.0
                                            + 6.0 * aH * w2 * w2)
-            searched = searched + tokens * sd * dim + tokens * dim
-            searched = searched + (dim * am + am * dim + dim + am) * tokens
+            searched = searched + tokens * sd * de + tokens * de
+            searched = searched + (de * am + am * de + de + am) * tokens
             gi += 1
+        if s < cfg.num_stages - 1:
+            # patch merging: norm over 4C + reduction (tokens/4, 4C)@(4C, 2C)
+            t4 = tokens / 4.0
+            dnext = float(cfg.stage_dim(s + 1))
+            total += t4 * 4.0 * dim + t4 * 4.0 * dim * dnext
+            searched = searched + t4 * 4.0 * de \
+                + t4 * 4.0 * de * stage_de(s + 1)
     C = float(cfg.num_classes)
     D_last = float(cfg.stage_dim(cfg.num_stages - 1))
     total += D_last * C
-    searched = searched + D_last * C
+    searched = searched + stage_de(cfg.num_stages - 1) * C
     return jnp.asarray(total, jnp.float32) / 1e9, searched / 1e9
 
 
 def export_swin_subnet(params: Params, arch: ArchState, space: SearchSpace,
                        cfg: SwinCfg) -> Tuple[Params, SwinCfg, Dict]:
-    """Slice converged attn/mlp dims per block; embed dims untouched.
+    """Slice converged attn/mlp dims per block and (with embed search) the
+    per-stage residual widths through the patch-merging concat.
 
     Scores must be the post-convergence linear gates; they are folded into
-    qkv / fc1 rows here (the fuse step), so the sliced model needs no gate.
+    qkv / fc1 rows (attn/mlp) and into the stage's stream source — the
+    patch-embed conv / patch-merging reduction columns — for embed scores,
+    so the sliced model needs no gate. The exported net runs through the
+    plain `swin_forward` (shape-driven widths).
     """
     import copy
     out = copy.deepcopy(jax.device_get(params))
@@ -318,4 +430,52 @@ def export_swin_subnet(params: Params, arch: ArchState, space: SearchSpace,
             del bp["attn"]["score"], bp["mlp"]["score"]
             meta["blocks"].append({"mlp_hidden": int(len(m_keep))})
             gi += 1
+
+    if space.stage_embeds:
+        keeps = [np.where(np.asarray(arch.stage_embeds[s].hard_mask) > 0)[0]
+                 for s in range(len(space.stage_embeds))]
+        scores = [np.asarray(params["stages"][s]["embed_score"])
+                  for s in range(len(space.stage_embeds))]
+        k0, s0 = keeps[0], scores[0]
+        pe = out["patch_embed"]
+        pe["proj"]["kernel"] = np.asarray(
+            pe["proj"]["kernel"])[..., k0] * s0[k0]
+        pe["proj"]["bias"] = np.asarray(pe["proj"]["bias"])[k0] * s0[k0]
+        pe["norm"]["scale"] = np.asarray(pe["norm"]["scale"])[k0]
+        pe["norm"]["bias"] = np.asarray(pe["norm"]["bias"])[k0]
+        for s, stage in enumerate(out["stages"]):
+            ks = keeps[s]
+            C = int(np.asarray(arch.stage_embeds[s].hard_mask).shape[0])
+            for bp in stage["blocks"]:
+                for nm in ("norm1", "norm2"):
+                    bp[nm]["scale"] = np.asarray(bp[nm]["scale"])[ks]
+                    bp[nm]["bias"] = np.asarray(bp[nm]["bias"])[ks]
+                bp["attn"]["qkv"]["kernel"] = np.asarray(
+                    bp["attn"]["qkv"]["kernel"])[ks, :]
+                bp["attn"]["proj"]["kernel"] = np.asarray(
+                    bp["attn"]["proj"]["kernel"])[:, ks]
+                bp["attn"]["proj"]["bias"] = np.asarray(
+                    bp["attn"]["proj"]["bias"])[ks]
+                bp["mlp"]["fc1"]["kernel"] = np.asarray(
+                    bp["mlp"]["fc1"]["kernel"])[ks, :]
+                bp["mlp"]["fc2"]["kernel"] = np.asarray(
+                    bp["mlp"]["fc2"]["kernel"])[:, ks]
+                bp["mlp"]["fc2"]["bias"] = np.asarray(
+                    bp["mlp"]["fc2"]["bias"])[ks]
+            if "downsample" in stage:
+                # channel c appears at positions j*C + c in the 2x2 concat
+                tiled = np.concatenate([ks + j * C for j in range(4)])
+                dn = stage["downsample"]
+                dn["norm"]["scale"] = np.asarray(dn["norm"]["scale"])[tiled]
+                dn["norm"]["bias"] = np.asarray(dn["norm"]["bias"])[tiled]
+                kn, sn = keeps[s + 1], scores[s + 1]
+                dn["reduction"]["kernel"] = np.asarray(
+                    dn["reduction"]["kernel"])[tiled][:, kn] * sn[kn]
+            del stage["embed_score"]
+        kl = keeps[-1]
+        out["norm"]["scale"] = np.asarray(out["norm"]["scale"])[kl]
+        out["norm"]["bias"] = np.asarray(out["norm"]["bias"])[kl]
+        out["head"]["kernel"] = np.asarray(out["head"]["kernel"])[kl, :]
+        meta["stage_dims"] = [int(len(k)) for k in keeps]
+
     return jax.tree_util.tree_map(jnp.asarray, out), cfg, meta

@@ -72,7 +72,7 @@ def get_args_parser():
     p.add_argument("--data-path", default="", type=str)
     p.add_argument("--data-set", default="IMNET",
                    choices=["CIFAR10", "CIFAR100", "IMNET", "IMNET100",
-                            "INAT", "INAT19", "SYNTHETIC"])
+                            "INAT", "INAT19", "SYNTHETIC", "DIGITS"])
     p.add_argument("--output_dir", default="runs/finetune")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--start_epoch", default=0, type=int)

@@ -306,3 +306,17 @@ def test_mixup_modes_and_minmax():
     diff = np.abs(np.asarray(out_im) - np.asarray(imgs)).sum(-1) > 1e-6
     fmatch = np.abs(np.asarray(out_im) - np.asarray(imgs)[::-1]).sum(-1) < 1e-6
     assert (fmatch[diff]).all()
+
+
+def test_digits_dataset():
+    """Real-image digits set: deterministic disjoint 80/20 split, uint8
+    staging squares (used by the accuracy story, scripts/digits_story.py)."""
+    from ofb_tpu.data.datasets import DigitsDataset
+    tr = DigitsDataset(True, 40)
+    va = DigitsDataset(False, 40)
+    assert len(tr) + len(va) == 1797 and len(va) == 360
+    img, lbl = tr[0]
+    assert img.shape == (40, 40, 3) and img.dtype == np.uint8
+    assert 0 <= lbl <= 9
+    tr2 = DigitsDataset(True, 40)
+    np.testing.assert_array_equal(tr.labels, tr2.labels)

@@ -132,3 +132,100 @@ def test_sparsity_losses_work_on_swin_layout():
     # the score-norm term reads scores through the stage layout
     sp2 = sparsity_losses(params, alphas, arch, space, norm=False)
     assert float(sp["attn"]) > float(sp2["attn"])
+
+
+# ---------------------------------------------------------------------------
+# Per-stage embed-dim search across patch merging (round-2: the OFB-Swin
+# extension — reference README.md:27-31)
+# ---------------------------------------------------------------------------
+
+def setup_embed():
+    space = build_swin_space(CFG, embed_search=True)
+    params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), CFG,
+                                            space)
+    return space, params, alphas, arch
+
+
+def test_embed_search_space_and_grads():
+    space, params, alphas, arch = setup_embed()
+    assert len(space.stage_embeds) == CFG.num_stages
+    assert space.stage_embeds[0].dim == 24
+    assert not arch.all_finished
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    def loss(alphas):
+        out = swin_search_forward(params, alphas, arch, x, CFG, space,
+                                  compute_dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(alphas)
+    for s in range(CFG.num_stages):
+        assert np.abs(np.asarray(g["stage_embeds"][s])).sum() > 0
+
+
+def test_embed_flops_full_cell_parity_and_motion():
+    space, params, alphas, arch = setup_embed()
+
+    def onehot(n, idx):
+        a = np.full((n,), -12.0, np.float32)
+        a[idx] = 12.0
+        return jnp.asarray(a)
+
+    full = dict(alphas)
+    full["blocks"] = [{"attn": onehot(np.asarray(b["attn"]).size,
+                                      np.asarray(b["attn"]).size - 1
+                                      ).reshape(np.asarray(b["attn"]).shape),
+                       "mlp": onehot(np.asarray(b["mlp"]).size,
+                                     np.asarray(b["mlp"]).size - 1)}
+                      for b in alphas["blocks"]]
+    full["stage_embeds"] = [onehot(ds.num_cells, ds.num_cells - 1)
+                            for ds in space.stage_embeds]
+    total, searched = swin_model_flops(full, arch, space, CFG)
+    np.testing.assert_allclose(float(searched), float(total), rtol=1e-5)
+
+    small = dict(full)
+    small["stage_embeds"] = [onehot(ds.num_cells, 0)
+                             for ds in space.stage_embeds]
+    _, s2 = swin_model_flops(small, arch, space, CFG)
+    assert float(s2) < float(searched)
+
+
+def test_embed_search_converge_and_export_equivalence():
+    """Converge every dimension incl. per-stage embeds, export, and assert
+    gated supernet == sliced model with realistic weight magnitudes."""
+    space, params, alphas, arch = setup_embed()
+    params = jax.tree_util.tree_map(
+        lambda x: x * 3.0 if x.ndim >= 2 else x, params)
+
+    def onehot(shape, idx):
+        a = np.full(shape, -8.0, np.float32)
+        a.reshape(-1)[idx] = 8.0
+        return jnp.asarray(a)
+
+    for b in alphas["blocks"]:
+        b["attn"] = onehot(np.asarray(b["attn"]).shape, 2)
+        b["mlp"] = onehot(np.asarray(b["mlp"]).shape, 3)
+    alphas["stage_embeds"] = [
+        onehot((ds.num_cells,), ds.num_cells // 2)
+        for ds in space.stage_embeds]
+    params, alphas, arch, _, rep = compress(params, alphas, arch, None,
+                                            space, thresh=0.2)
+    assert rep.finish_search, rep.events
+    for s, ds in enumerate(space.stage_embeds):
+        ea = arch.stage_embeds[s]
+        assert bool(ea.finished)
+        want = int(ds.cell_sizes[ds.num_cells // 2])
+        assert int(np.asarray(ea.hard_mask).sum()) == want
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    gated = swin_search_forward(params, alphas, arch, x, CFG, space,
+                                compute_dtype=jnp.float32)
+    dense, dcfg, meta = export_swin_subnet(params, arch, space, CFG)
+    # residual widths really shrank, through the patch-merging concat
+    assert meta["stage_dims"] == [
+        int(ds.cell_sizes[ds.num_cells // 2]) for ds in space.stage_embeds]
+    red = dense["stages"][0]["downsample"]["reduction"]["kernel"]
+    assert red.shape == (4 * meta["stage_dims"][0], meta["stage_dims"][1])
+    ref = swin_forward(dense, x, dcfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(ref),
+                               atol=3e-4, rtol=1e-3)
