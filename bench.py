@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--phase", default="search")
+    ap.add_argument("--model", default="deit_small",
+                    choices=["deit_small", "deit_base", "deit_tiny"])
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint per block (memory for FLOPs)")
     args = ap.parse_args()
@@ -59,11 +61,12 @@ def main():
         batch = args.batch or 8
         compute = jnp.float32
     else:
-        bundle = create_model("deit_small_patch16_224_mim", patch_search=True)
+        bundle = create_model(f"{args.model}_patch16_224_mim",
+                              patch_search=True)
         if args.remat:
             import dataclasses
             bundle.cfg = dataclasses.replace(bundle.cfg, remat=True)
-        batch = args.batch or 256
+        batch = args.batch or (256 if args.model != "deit_base" else 128)
         compute = jnp.bfloat16
 
     key = jax.random.PRNGKey(0)
@@ -107,12 +110,26 @@ def main():
     assert np.isfinite(sync)
 
     img_s = batch * args.steps / dt
+
+    # MFU: fwd MACs of the dense supernet from the differentiable FLOPs
+    # model; train step ~ 3x fwd (bwd ~ 2x), FLOPs = 2 x MACs.
+    # v5e peak 197 TFLOPs/s bf16.
+    from ofb_tpu.ops.flops import model_flops
+    total_gmacs, _ = model_flops(jax.device_get(alphas), arch, bundle.space,
+                                 bundle.cfg)
+    flops_per_img = 6.0 * float(total_gmacs) * 1e9
+    mfu = img_s * flops_per_img / 197e12
+
+    name = ("tiny" if (args.tiny or not on_tpu)
+            else {"deit_small": "deit_s", "deit_base": "deit_b",
+                  "deit_tiny": "deit_t"}[args.model])
     print(json.dumps({
-        "metric": "deit_s_ofb_search_step_throughput"
-        if on_tpu and not args.tiny else "tiny_ofb_search_step_throughput",
+        "metric": f"{name}_ofb_search_step_throughput",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / PER_CHIP_TARGET_IMG_S, 3),
+        "mfu": round(mfu, 4),
+        "batch": batch,
     }))
 
 
