@@ -20,10 +20,15 @@ The model is a pure function; one jit covers the whole search step.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# candidate fusion (see gated_attention/gated_mlp): fold bi-mask gates
+# into the matmul weights instead of the activations
+_GATE_FOLD = os.environ.get("OFB_GATE_FOLD", "0") == "1"
 
 from ..ops import gates as G
 from ..ops import pmim
@@ -140,13 +145,25 @@ def gated_attention(p: Params, x: jnp.ndarray, alphas_blk, arch_blk,
     a = arch_blk.attn
     B, N, _ = x.shape
     H, hd = a.hard_mask.shape
-    qkv = linear(p["qkv"], x).reshape(B, N, 3, H, hd)
     if not fused:
         gate, _ = G.bimask_gate_attn(
             p["score"], alphas_blk["attn"], a.switch,
             jnp.asarray(space_blk.attn.mask_bank), a.hard_mask, a.w_p,
             a.finished)
-        qkv = qkv * gate.astype(qkv.dtype)[None, None, None]
+        if _GATE_FOLD:
+            # fold the gate into the qkv weights: a (D, 3HD) elementwise
+            # instead of a (B, N, 3HD) one — candidate fusion, measured
+            # via OFB_GATE_FOLD=1 (same math, grads flow to score/alpha
+            # through the kernel product)
+            g3 = jnp.tile(gate.reshape(-1), 3).astype(x.dtype)
+            qkv = (x @ (p["qkv"]["kernel"].astype(x.dtype) * g3[None, :])
+                   + p["qkv"]["bias"].astype(x.dtype) * g3)
+            qkv = qkv.reshape(B, N, 3, H, hd)
+        else:
+            qkv = linear(p["qkv"], x).reshape(B, N, 3, H, hd)
+            qkv = qkv * gate.astype(qkv.dtype)[None, None, None]
+    else:
+        qkv = linear(p["qkv"], x).reshape(B, N, 3, H, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     r1 = r2 = None
     if rng is not None:
@@ -166,13 +183,19 @@ def gated_mlp(p: Params, x: jnp.ndarray, alphas_blk, arch_blk, space_blk,
               train=False, rng=None) -> jnp.ndarray:
     """MAESparseMlp forward (reference models/layers.py:843-865)."""
     m = arch_blk.mlp
-    h = linear(p["fc1"], x)
     if not fused:
         gate, _ = G.bimask_gate_1d(
             p["score"], alphas_blk["mlp"], m.switch,
             jnp.asarray(space_blk.mlp.mask_bank), m.hard_mask, m.w_p,
             m.finished)
-        h = h * gate.astype(h.dtype)
+        if _GATE_FOLD:
+            g = gate.astype(x.dtype)
+            h = x @ (p["fc1"]["kernel"].astype(x.dtype) * g[None, :]) \
+                + p["fc1"]["bias"].astype(x.dtype) * g
+        else:
+            h = linear(p["fc1"], x) * gate.astype(x.dtype)
+    else:
+        h = linear(p["fc1"], x)
     h = jax.nn.gelu(h, approximate=False)
     if train and cfg.drop_rate > 0.0 and rng is not None:
         rng, sub = jax.random.split(rng)
