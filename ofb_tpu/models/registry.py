@@ -162,8 +162,13 @@ _VIT_DIMS = {
     "vit_base": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
     "vit_large": dict(embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0),
 }
+# vit_huge uses patch 14 (reference vision_transformer.py:1248-1260);
+# the resnet-hybrid factories (vit_*_resnet*) are deliberately absent —
+# they need a torchvision ResNet backbone the TPU port does not carry.
+_VIT_DIMS["vit_huge"] = dict(embed_dim=1280, depth=32, num_heads=16,
+                             mlp_ratio=4.0)
 for _vname, _dims in _VIT_DIMS.items():
-    for _patch in (16, 32):
+    for _patch in ((14,) if _vname == "vit_huge" else (16, 32)):
         for _img in (224, 384):
             def _vf(num_classes=1000, drop_rate=0.0, drop_path_rate=0.0,
                     _dims=_dims, _patch=_patch, _img=_img,
@@ -234,12 +239,13 @@ class SwinSearchBundle:
 for _sname, _sd in _SWIN_DIMS.items():
     def _ssf(num_classes=1000, img_size=224, attn_search=True,
              mlp_search=True, head_search=False, channel_search=False,
-             drop_path_rate=0.1, _sd=_sd, **_unused):
+             embed_search=False, drop_path_rate=0.1, _sd=_sd, **_unused):
         cfg = SwinCfg(img_size=img_size, num_classes=num_classes,
                       drop_path_rate=drop_path_rate, **_sd)
         space = build_swin_space(cfg, attn_search=attn_search,
                                  mlp_search=mlp_search,
                                  head_search=head_search,
-                                 channel_search=channel_search)
+                                 channel_search=channel_search,
+                                 embed_search=embed_search)
         return SwinSearchBundle(name="swin_mim", cfg=cfg, space=space)
     _REGISTRY[f"swin_{_sname}_patch4_window7_224_mim"] = _ssf

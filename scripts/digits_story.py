@@ -81,9 +81,15 @@ def main():
     common = ["--data-set", "DIGITS", "--tiny-test", "--batch-size",
               str(args.batch_size), "--accum-iter", "1", "--num_workers",
               "0", "--compute-dtype", dtype, "--seed", "0"]
+    # 1,280 train images of upscaled 8x8 digits: the ImageNet DeiT recipe
+    # (RandAugment m9 + mixup/cutmix + erasing + blr 1.5e-4) destroys
+    # learning at this scale — use a mild recipe and a real LR instead
+    ft_recipe = ["--mixup", "0", "--cutmix", "0", "--reprob", "0",
+                 "--aa", "", "--blr", "2e-3", "--layer-decay", "1.0",
+                 "--smoothing", "0.0", "--drop-path", "0.0"]
     fp = ft.get_args_parser()
     dense_out = os.path.join(args.out, "dense_ft")
-    fargs = fp.parse_args(common + [
+    fargs = fp.parse_args(common + ft_recipe + [
         "--finetune", dense_dir, "--epochs", str(args.dense_epochs),
         "--output_dir", dense_out, "--warmup-epochs", "5"])
     ft.main(fargs)
@@ -108,7 +114,7 @@ def main():
 
     # ---- 3. finetune the searched subnet (export inside) ----------------
     ft_out = os.path.join(args.out, "subnet_ft")
-    fargs = fp.parse_args(common + [
+    fargs = fp.parse_args(common + ft_recipe + [
         "--finetune", os.path.join(search_out, "best"),
         "--epochs", str(args.ft_epochs), "--output_dir", ft_out,
         "--warmup-epochs", "5"])
