@@ -111,6 +111,7 @@ def make_epoch_loader(dataset, *, epoch: int, rank: int, world: int,
 def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
                 accum_iter: int = 1, out_size: int = 224,
                 use_randaug: bool = True, re_prob: float = 0.25,
+                crop_scale=(0.08, 1.0), hflip: bool = True,
                 batch_sharding=None, prefetch: int = 2, raw: bool = False
                 ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Yields device-resident (images (A, mb, H, W, 3) float32, labels
@@ -130,7 +131,8 @@ def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
             elif train:
                 x = train_augment_batch(sub, x, out_size=out_size,
                                         use_randaug=use_randaug,
-                                        re_prob=re_prob)
+                                        re_prob=re_prob,
+                                        crop_scale=crop_scale, hflip=hflip)
             else:
                 x = eval_preprocess_batch(x, out_size=out_size)
             B = x.shape[0]

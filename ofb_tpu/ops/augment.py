@@ -469,11 +469,14 @@ def normalize(img255: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("out_size", "use_randaug",
-                                   "color_jitter_strength", "re_prob"))
+                                   "color_jitter_strength", "re_prob",
+                                   "crop_scale", "hflip"))
 def train_augment_batch(rng, images_u8: jnp.ndarray, *, out_size: int = 224,
                         use_randaug: bool = True,
                         color_jitter_strength: float = 0.4,
-                        re_prob: float = 0.25) -> jnp.ndarray:
+                        re_prob: float = 0.25,
+                        crop_scale=(0.08, 1.0),
+                        hflip: bool = True) -> jnp.ndarray:
     """uint8 staging batch (B, S, S, 3) -> augmented normalized float32
     (B, out, out, 3). The train transform of reference datasets.py:127-150."""
     B = images_u8.shape[0]
@@ -482,9 +485,11 @@ def train_augment_batch(rng, images_u8: jnp.ndarray, *, out_size: int = 224,
     def one(rng, img_u8):
         k_crop, k_flip, k_aug, k_er = jax.random.split(rng, 4)
         img = img_u8.astype(jnp.float32)
-        img = random_resized_crop(k_crop, img, out_size)
-        img = jnp.where(jax.random.bernoulli(k_flip, 0.5),
-                        img[:, ::-1], img)
+        img = random_resized_crop(k_crop, img, out_size,
+                                  scale=crop_scale)
+        if hflip:
+            img = jnp.where(jax.random.bernoulli(k_flip, 0.5),
+                            img[:, ::-1], img)
         if use_randaug:
             img = rand_augment(k_aug, img)
         else:

@@ -85,8 +85,9 @@ def main():
     # (RandAugment m9 + mixup/cutmix + erasing + blr 1.5e-4) destroys
     # learning at this scale — use a mild recipe and a real LR instead
     ft_recipe = ["--mixup", "0", "--cutmix", "0", "--reprob", "0",
-                 "--aa", "", "--blr", "2e-3", "--layer-decay", "1.0",
-                 "--smoothing", "0.0", "--drop-path", "0.0"]
+                 "--aa", "", "--blr", "4e-3", "--layer-decay", "1.0",
+                 "--smoothing", "0.0", "--drop-path", "0.0",
+                 "--min-crop-scale", "0.55", "--no-hflip"]
     fp = ft.get_args_parser()
     dense_out = os.path.join(args.out, "dense_ft")
     fargs = fp.parse_args(common + ft_recipe + [

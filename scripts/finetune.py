@@ -54,6 +54,10 @@ def get_args_parser():
     p.add_argument("--no-repeated-aug", action="store_false",
                    dest="repeated_aug")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--min-crop-scale", type=float, default=0.08,
+                   help="lower bound of the random-resized-crop area")
+    p.add_argument("--no-hflip", action="store_false", dest="hflip",
+                   default=True, help="disable horizontal flip (digits)")
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--cutmix-minmax", type=float, nargs="+",
@@ -284,7 +288,8 @@ def main(args):
         feed = device_feed(loader, rng=frng, train=True,
                            accum_iter=args.accum_iter, out_size=out_size,
                            use_randaug=bool(args.aa), re_prob=args.reprob,
-                           batch_sharding=bsh)
+                           crop_scale=(args.min_crop_scale, 1.0),
+                           hflip=args.hflip, batch_sharding=bsh)
         state, train_stats = train_one_epoch(
             state, step_fn, feed, epoch=epoch,
             steps_per_epoch=steps_per_epoch, rng=erng)
