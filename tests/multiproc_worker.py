@@ -139,6 +139,11 @@ def main():
         digest.update(np.asarray(blk.attn.switch).tobytes())
     digest.update(np.asarray(new_arch.embed.hard_mask).tobytes())
 
+    # cross-host barrier fence (checkpoint-style) must not deadlock
+    from ofb_tpu.parallel.distributed import barrier_sync
+    if not single:
+        barrier_sync("worker_fence")
+
     # rank-sharded eval: every host must report FULL-set stats
     ev = make_eval_step(bundle.space, bundle.cfg, compute_dtype=jnp.float32)
     stats = evaluate(ev, sharded_feed(rank, world),

@@ -95,3 +95,30 @@ def test_dryrun_multichip_driver_path():
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK" in res.stdout
+
+
+def test_distributed_helpers_single_host():
+    """parallel/distributed.py coverage: init_distributed is a no-op
+    single-host (rank 0 of 1), reinit_mesh rebuilds a mesh over the
+    current device set and re-replicates state, barrier_sync is a no-op
+    for world=1 (the 2-process path is exercised in test_multiprocess)."""
+    from ofb_tpu.parallel.distributed import (barrier_sync,
+                                              init_distributed,
+                                              reinit_mesh)
+    rank, world = init_distributed()          # no coordinator configured
+    assert (rank, world) == (0, 1)
+
+    tree = {"w": jnp.arange(8.0), "b": {"x": jnp.ones((2, 2))}}
+    mesh, placed = reinit_mesh(tree)
+    assert mesh.devices.size == len(jax.devices())
+    np.testing.assert_array_equal(np.asarray(placed["w"]),
+                                  np.arange(8.0))
+    # replicated: every device holds the full value
+    assert placed["w"].sharding.is_fully_replicated
+
+    mesh2, placed2 = reinit_mesh(placed, shape=(4, 2))
+    assert mesh2.devices.shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(placed2["b"]["x"]),
+                                  np.ones((2, 2)))
+
+    barrier_sync("test")                      # world=1: returns immediately
