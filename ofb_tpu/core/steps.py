@@ -55,6 +55,10 @@ def _freeze_finished_alpha_updates(alpha_updates, arch: ArchState):
     out = dict(alpha_updates)
     out["patch"] = alpha_updates["patch"] * live(arch.patch.finished)
     out["embed"] = alpha_updates["embed"] * live(arch.embed.finished)
+    if "stage_embeds" in alpha_updates:        # Swin per-stage widths
+        out["stage_embeds"] = [
+            alpha_updates["stage_embeds"][s] * live(d.finished)
+            for s, d in enumerate(arch.stage_embeds)]
     blocks = []
     for i, b in enumerate(arch.blocks):
         blocks.append({

@@ -1,0 +1,143 @@
+"""Jitted search train/eval steps for the searchable Swin family.
+
+The reference's OFB-Swin is unreleased (reference README.md:27-31), so
+this is the OFB method applied to Swin with the published DeiT-search
+machinery: gated supernet forward + CE + adaptive one-hot sparsity losses
++ FLOPs targeting, three-family AdamW (the decoder family is unused —
+Swin search here trains supervised, no PMIM decoder), gradient
+accumulation, converged-alpha freezing. Shares the compress state machine
+and TrainState with the ViT path (core/steps.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SearchConfig
+from ..models.search_space import SearchSpace
+from ..models.swin import SwinCfg
+from ..models.swin_search import swin_model_flops, swin_search_forward
+from ..ops.mixup import mixup_cutmix
+from . import losses as L
+from .steps import TrainState, _freeze_finished_alpha_updates
+
+
+def swin_arch_loss(params, alphas, arch, space: SearchSpace, cfg: SwinCfg,
+                   *, target_flops: float, w_head: float, w_mlp: float,
+                   w_embedding: float, w_flops: float, entropy=True,
+                   var=True, norm=True):
+    """Weighted arch loss over the Swin layout (analog of ofb_arch_loss;
+    reference losses.py:91-102 + base_model.py:31-35)."""
+    total, searched = swin_model_flops(alphas, arch, space, cfg)
+    fl = jnp.square((searched - target_flops) / total)
+    sp = L.sparsity_losses(params, alphas, arch, space, entropy=entropy,
+                           var=var, norm=norm)
+    arch_total = (w_head * sp["attn"] + w_mlp * sp["mlp"]
+                  + w_embedding * sp["embed"] + w_flops * fl)
+    return arch_total, {"searched_gflops": searched}
+
+
+def make_swin_search_step(space: SearchSpace, cfg: SwinCfg,
+                          scfg: SearchConfig,
+                          tx: optax.GradientTransformation, *,
+                          phase: str = "search",
+                          teacher_apply: Optional[Callable] = None,
+                          compute_dtype=jnp.bfloat16, donate: bool = False):
+    """step(state, images (A,mb,H,W,3), labels (A,mb), rng) ->
+    (state, metrics)."""
+    assert phase in ("search", "postsearch")
+    dcfg = scfg.distillation
+
+    def loss_fn(params, alphas, arch, images, labels, rng):
+        rng_fwd, rng_mix = jax.random.split(rng)
+        soft = False
+        if phase == "postsearch":
+            images, labels = mixup_cutmix(
+                rng_mix, images, labels, num_classes=cfg.num_classes,
+                mixup_alpha=0.8, cutmix_alpha=1.0,
+                cutmix_minmax=scfg.mixup.cutmix_minmax,
+                prob=scfg.mixup.prob, switch_prob=scfg.mixup.switch_prob,
+                mode=scfg.mixup.mode,
+                label_smoothing=scfg.mixup.label_smoothing)
+            soft = True
+        logits = swin_search_forward(params, alphas, arch, images, cfg,
+                                     space, train=True, rng=rng_fwd,
+                                     compute_dtype=compute_dtype)
+        base = L.base_criterion(logits, labels, soft_labels=soft,
+                                smoothing=scfg.mixup.label_smoothing)
+        if teacher_apply is not None and dcfg.distillation_type != "none":
+            base = L.distillation_loss(
+                base, logits, teacher_apply(images),
+                kind=dcfg.distillation_type, alpha=dcfg.alpha, tau=dcfg.tau)
+        metrics = {"loss_param": base}
+        total = base
+        if phase == "search":
+            arch_loss, aux = swin_arch_loss(
+                params, alphas, arch, space, cfg,
+                target_flops=scfg.target_flops, w_head=scfg.w_head,
+                w_mlp=scfg.w_mlp, w_embedding=scfg.w_embedding,
+                w_flops=scfg.w_flops, entropy=scfg.entropy, var=scfg.var,
+                norm=scfg.norm)
+            total = total + arch_loss
+            metrics.update(loss_arch=arch_loss,
+                           searched_gflops=aux["searched_gflops"])
+        metrics["loss_total"] = total
+        return total, metrics
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def step(state: TrainState, images, labels, rng):
+        A = images.shape[0]
+
+        def micro(carry, xs):
+            g_acc, m_acc = carry
+            img, lbl, r = xs
+            g, m = grad_fn(state.params, state.alphas, state.arch, img,
+                           lbl, r)
+            return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                    jax.tree_util.tree_map(jnp.add, m_acc, m)), None
+
+        rngs = jax.random.split(rng, A)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32),
+            (state.params, state.alphas))
+        zero_m = {k: jnp.asarray(0.0, jnp.float32) for k in (
+            ["loss_param", "loss_total"]
+            + (["loss_arch", "searched_gflops"] if phase == "search"
+               else []))}
+        (grads, metrics), _ = jax.lax.scan(
+            micro, (zero_g, zero_m), (images, labels, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        metrics = {k: v / A for k, v in metrics.items()}
+        metrics["grad_norm"] = optax.global_norm(grads[0])
+
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     (state.params, state.alphas))
+        pu, au = updates
+        au = _freeze_finished_alpha_updates(au, state.arch)
+        new_state = state.replace(
+            step=state.step + A,
+            params=optax.apply_updates(state.params, pu),
+            alphas=optax.apply_updates(state.alphas, au),
+            opt_state=new_opt)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_swin_eval_step(space: SearchSpace, cfg: SwinCfg, *,
+                        compute_dtype=jnp.bfloat16, fused: bool = False):
+    from .steps import _cls_metrics
+
+    @jax.jit
+    def step(params, alphas, arch, images, labels):
+        logits = swin_search_forward(params, alphas, arch, images, cfg,
+                                     space, train=False, fused=fused,
+                                     compute_dtype=compute_dtype)
+        return _cls_metrics(logits, labels)
+
+    return step

@@ -229,3 +229,59 @@ def test_embed_search_converge_and_export_equivalence():
     ref = swin_forward(dense, x, dcfg, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(gated), np.asarray(ref),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_swin_search_train_step_and_freeze():
+    """Full Swin search training step (CE + sparsity + FLOPs targeting,
+    three-family AdamW): losses finite, alphas move; after convergence the
+    module's alpha is frozen (update suppressed)."""
+    from ofb_tpu.config import SearchConfig
+    from ofb_tpu.core.optim import build_search_optimizer
+    from ofb_tpu.core.steps import TrainState
+    from ofb_tpu.core.swin_steps import (make_swin_eval_step,
+                                         make_swin_search_step)
+
+    space = build_swin_space(CFG, embed_search=True)
+    params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), CFG,
+                                            space)
+    scfg = SearchConfig(accum_iter=2, target_flops=0.0002).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=100, steps_per_epoch=10)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    step = make_swin_search_step(space, CFG, scfg, tx,
+                                 compute_dtype=jnp.float32, donate=False)
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+    lbls = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 0, 10)
+    a0 = np.asarray(state.alphas["blocks"][0]["mlp"])
+    e0 = np.asarray(state.alphas["stage_embeds"][0])
+    for i in range(2):
+        state, m = step(state, imgs, lbls, jax.random.PRNGKey(3 + i))
+    assert np.isfinite(float(m["loss_total"]))
+    assert float(m["searched_gflops"]) > 0
+    assert np.abs(np.asarray(state.alphas["blocks"][0]["mlp"]) - a0).max() > 0
+    assert np.abs(np.asarray(state.alphas["stage_embeds"][0]) - e0).max() > 0
+
+    # force convergence of stage-0 embed, then its alpha must stop moving
+    al = jax.device_get(state.alphas)
+    a = np.full_like(np.asarray(al["stage_embeds"][0]), -8.0)
+    a[len(a) // 2] = 8.0
+    al["stage_embeds"][0] = jnp.asarray(a)
+    p2, al2, arch2, opt2, rep = compress(
+        jax.device_get(state.params), al,
+        jax.tree_util.tree_map(jax.device_get, state.arch),
+        jax.device_get(state.opt_state), space, 0.2)
+    assert bool(arch2.stage_embeds[0].finished)
+    state = state.replace(params=p2, alphas=al2, arch=arch2, opt_state=opt2)
+    frozen = np.asarray(state.alphas["stage_embeds"][0])
+    state, m = step(state, imgs, lbls, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(
+        np.asarray(state.alphas["stage_embeds"][0]), frozen)
+    assert np.isfinite(float(m["loss_total"]))
+
+    ev = make_swin_eval_step(space, CFG, compute_dtype=jnp.float32)
+    em = ev(state.params, state.alphas, state.arch, imgs[0], lbls[0])
+    assert np.isfinite(float(em["loss_sum"]))
