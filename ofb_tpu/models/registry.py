@@ -181,6 +181,44 @@ for _vname, _dims in _VIT_DIMS.items():
             _REGISTRY[f"{_vname}_patch{_patch}_{_img}"] = _vf
 
 
+# in21k pretraining variants (reference vision_transformer.py:1154-1208):
+# 21843-class head + a tanh pre-logits representation layer.
+for _vname, _dims in _VIT_DIMS.items():
+    if _vname == "vit_small":      # reference registers no small_in21k
+        continue
+    for _patch in ((14,) if _vname == "vit_huge" else (16, 32)):
+        def _vf21k(num_classes=21843, drop_rate=0.0, drop_path_rate=0.0,
+                   _dims=_dims, _patch=_patch, **_unused) -> ModelBundle:
+            cfg = ModelCfg(img_size=224, patch_size=_patch,
+                           num_classes=num_classes, drop_rate=drop_rate,
+                           drop_path_rate=drop_path_rate,
+                           representation_size=_dims["embed_dim"], **_dims)
+            return ModelBundle(name="vit", cfg=cfg, kind="dense")
+        _REGISTRY[f"{_vname}_patch{_patch}_224_in21k"] = _vf21k
+
+# MIIL variants (reference vision_transformer.py:1293-1310): qkv_bias=False
+for _miil_name, _miil_nc in (("vit_base_patch16_224_miil_in21k", 11221),
+                             ("vit_base_patch16_224_miil", 1000)):
+    def _vfm(num_classes=_miil_nc, drop_rate=0.0, drop_path_rate=0.0,
+             **_unused) -> ModelBundle:
+        cfg = ModelCfg(img_size=224, patch_size=16, num_classes=num_classes,
+                       embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0,
+                       qkv_bias=False, drop_rate=drop_rate,
+                       drop_path_rate=drop_path_rate)
+        return ModelBundle(name="vit", cfg=cfg, kind="dense")
+    _REGISTRY[_miil_name] = _vfm
+
+# vit_deit_* aliases (reference vision_transformer.py:1210-1292 registers the
+# DeiT family under both names)
+for _size in ("tiny", "small", "base"):
+    for _img, _dist in ((224, False), (224, True), (384, False), (384, True)):
+        if _img == 384 and _size != "base":
+            continue
+        _suffix = "_distilled" if _dist else ""
+        _REGISTRY[f"vit_deit_{_size}{_suffix}_patch16_{_img}"] = \
+            _REGISTRY[f"deit_{_size}{_suffix}_patch16_{_img}"]
+
+
 # Swin family (dense; the reference README lists unreleased OFB-Swin
 # results, README.md:27-31 — searchable Swin is future work)
 from .swin import SwinCfg, init_swin_params, swin_forward  # noqa: E402

@@ -328,16 +328,17 @@ def dense_flops(cfg: ModelCfg) -> float:
     (reference vision_transformer.py:360-377 with MAEBlock terms
     :207-220, :404-414, :799-801). Returns GFLOPs."""
     N = cfg.num_patches
-    D, H, hd, hid = cfg.embed_dim, cfg.num_heads, cfg.hd, cfg.hidden
+    D = cfg.embed_dim
     flops = N * D * 3 * cfg.patch_size ** 2                 # patch embed
-    for _ in range(cfg.depth):
+    for i in range(cfg.depth):
+        H, hd, hid = cfg.block_dims(i)
         flops += 2 * D * N                                  # norms
-        flops += N * (H * hd * (3 * H * hd)) + 3 * N * H * hd   # qkv
+        flops += N * D * (3 * H * hd) + 3 * N * H * hd      # qkv
         flops += H * N * hd * N + H * N * N                 # q@k
         flops += 5 * H * N * N                              # softmax
         flops += H * N * N * hd                             # attn@v
         flops += N * (H * hd * D) + N * D                   # proj
-        flops += (2 * (D * hid) + D + hid) * N              # mlp
+        flops += (D * hid + hid * D + D + hid) * N          # mlp
     head_mult = 2 if cfg.distilled else 1
     flops += head_mult * D * cfg.num_classes
     return flops / 1e9

@@ -184,3 +184,64 @@ def test_mim_forward_no_mae():
                       rng=key, compute_dtype=jnp.float32)
     assert float(out.decoder_loss) == 0.0
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_registry_stock_zoo_parity():
+    """Every stock factory the reference registers
+    (vision_transformer.py:1058-1310, minus the torchvision-hybrid
+    vit_*_resnet* family) exists here with matching head/geometry."""
+    from ofb_tpu.models.registry import create_model, list_models
+    names = list_models()
+    ref_stock = [
+        "vit_small_patch16_224", "vit_base_patch16_224",
+        "vit_base_patch32_224", "vit_base_patch16_384",
+        "vit_base_patch32_384", "vit_large_patch16_224",
+        "vit_large_patch32_224", "vit_large_patch16_384",
+        "vit_large_patch32_384", "vit_base_patch16_224_in21k",
+        "vit_base_patch32_224_in21k", "vit_large_patch16_224_in21k",
+        "vit_large_patch32_224_in21k", "vit_huge_patch14_224_in21k",
+        "vit_deit_tiny_patch16_224", "vit_deit_small_patch16_224",
+        "vit_deit_base_patch16_224", "vit_deit_base_patch16_384",
+        "vit_deit_tiny_distilled_patch16_224",
+        "vit_deit_small_distilled_patch16_224",
+        "vit_deit_base_distilled_patch16_224",
+        "vit_deit_base_distilled_patch16_384",
+        "vit_base_patch16_224_miil_in21k", "vit_base_patch16_224_miil",
+    ]
+    missing = [n for n in ref_stock if n not in names]
+    assert not missing, missing
+    b = create_model("vit_base_patch16_224_in21k")
+    assert b.cfg.num_classes == 21843
+    assert b.cfg.representation_size == 768
+    assert create_model("vit_base_patch16_224_miil").cfg.qkv_bias is False
+    assert create_model("vit_base_patch16_224_miil_in21k"
+                        ).cfg.num_classes == 11221
+    d = create_model("vit_deit_base_distilled_patch16_384")
+    assert d.cfg.distilled and d.cfg.img_size == 384
+
+
+def test_pre_logits_and_no_qkv_bias_forward():
+    """in21k (tanh pre-logits head) and MIIL (bias-free qkv) variants run."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    for kw in (dict(representation_size=24), dict(qkv_bias=False)):
+        cfg = ModelCfg(img_size=32, patch_size=8, num_classes=7,
+                       embed_dim=24, depth=1, num_heads=2, **kw)
+        params = init_vit_params(key, cfg)
+        if "representation_size" in kw:
+            assert "pre_logits" in params
+        else:
+            assert "bias" not in params["blocks"][0]["attn"]["qkv"]
+        logits = vit_forward(params, x, cfg, compute_dtype=jnp.float32)
+        assert logits.shape == (2, 7)
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dense_flops_respects_block_overrides():
+    """dense_flops must account pruned per-block dims (qkv term is D x 3Hhd,
+    not (Hhd)^2 x 3 — they differ once a block's width is trimmed)."""
+    base = dense_flops(TINY)
+    trimmed = ModelCfg(img_size=32, patch_size=8, num_classes=10,
+                       embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0,
+                       block_overrides=((1, 8, 16), (2, 16, 64)))
+    assert dense_flops(trimmed) < base
