@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--phase", default="search")
     ap.add_argument("--model", default="deit_small",
-                    choices=["deit_small", "deit_base", "deit_tiny"])
+                    choices=["deit_small", "deit_base", "deit_tiny",
+                             "swin_tiny", "swin_small"])
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint per block (memory for FLOPs)")
     args = ap.parse_args()
@@ -47,6 +48,10 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
+    is_swin = args.model.startswith("swin")
+
+    if is_swin:
+        return bench_swin(args, on_tpu)
 
     if args.tiny or not on_tpu:
         from ofb_tpu.models.registry import ModelBundle
@@ -125,6 +130,70 @@ def main():
                   "deit_tiny": "deit_t"}[args.model])
     print(json.dumps({
         "metric": f"{name}_ofb_search_step_throughput",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / PER_CHIP_TARGET_IMG_S, 3),
+        "mfu": round(mfu, 4),
+        "batch": batch,
+    }))
+
+
+def bench_swin(args, on_tpu):
+    """OFB-Swin search-step throughput (window attention + MLP bi-mask
+    search over the Swin family — reference README.md:27-31's unreleased
+    OFB-Swin, rebuilt here)."""
+    import jax
+    import jax.numpy as jnp
+    from ofb_tpu.config import SearchConfig
+    from ofb_tpu.core.optim import build_search_optimizer
+    from ofb_tpu.core.steps import TrainState
+    from ofb_tpu.core.swin_steps import make_swin_search_step
+    from ofb_tpu.models.registry import create_model
+    from ofb_tpu.models.swin_search import swin_model_flops
+
+    bundle = create_model(f"{args.model}_patch4_window7_224_mim",
+                          embed_search=True)
+    batch = args.batch or 128
+    compute = jnp.bfloat16 if on_tpu else jnp.float32
+
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    scfg = SearchConfig(accum_iter=1, target_flops=1.0).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=100000, steps_per_epoch=1000)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    step = make_swin_search_step(bundle.space, bundle.cfg, scfg, tx,
+                                 phase="search", compute_dtype=compute,
+                                 donate=False)
+
+    H = bundle.cfg.img_size
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, batch, H, H, 3),
+                       jnp.float32)
+    lbls = jnp.asarray(np.random.RandomState(1).randint(
+        0, bundle.cfg.num_classes, (1, batch)))
+
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, imgs, lbls, sub)
+    float(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, imgs, lbls, sub)
+    sync = float(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(sync)
+
+    img_s = batch * args.steps / dt
+    total_gmacs, _ = swin_model_flops(jax.device_get(alphas), arch,
+                                      bundle.space, bundle.cfg)
+    mfu = img_s * 6.0 * float(total_gmacs) * 1e9 / 197e12
+    print(json.dumps({
+        "metric": f"{args.model}_ofb_search_step_throughput",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / PER_CHIP_TARGET_IMG_S, 3),

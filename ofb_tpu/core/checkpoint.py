@@ -45,6 +45,11 @@ def save_checkpoint(path: str, *, params, alphas=None, arch=None,
     the train loop is not blocked (the reference blocks every epoch on
     torch.save of the whole pickled module, search.py:711-722).
     """
+    if os.environ.get("OFB_CKPT_BACKEND") == "orbax":
+        return save_checkpoint_orbax(
+            path, params=params, alphas=alphas, arch=arch,
+            opt_state=opt_state, ema_params=ema_params, meta=meta,
+            async_write=async_write)
     if not is_main_process():
         return
     os.makedirs(path, exist_ok=True)
@@ -99,6 +104,10 @@ def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
     dict with restored parts + meta."""
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("backend") == "orbax":
+        return load_checkpoint_orbax(path, params=params, alphas=alphas,
+                                     arch=arch, opt_state=opt_state,
+                                     ema_params=ema_params)
     ver = meta.get("format_version", 1)
     if ver > 1:
         raise ValueError(f"checkpoint format {ver} is newer than this "
@@ -122,3 +131,67 @@ def latest_meta(path: str) -> Optional[Dict[str, Any]]:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Optional orbax backend.
+#
+# The msgpack path above device_gets the whole tree on process 0, which is
+# correct for replicated state (everything during single-slice search) but
+# cannot persist state sharded across *hosts* (e.g. tensor-parallel params
+# on a multi-host mesh: no single process holds all shards). Orbax writes
+# each host's shards in parallel and restores to the same shardings —
+# the TPU-native analog of the reference's rank-0 torch.save, generalized.
+# Select with OFB_CKPT_BACKEND=orbax or call these directly.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, *, params, alphas=None, arch=None,
+                          opt_state=None, ema_params=None,
+                          meta: Optional[Dict[str, Any]] = None,
+                          async_write: bool = False) -> None:
+    """Orbax-backed save of the same artifact layout (parts + meta.json).
+
+    Safe on multi-host sharded pytrees: every process must call this
+    (orbax coordinates the write); meta.json is still process-0-only.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    parts = {name: tree for name, tree in
+             (("params", params), ("alphas", alphas), ("arch", arch),
+              ("opt_state", opt_state), ("ema", ema_params))
+             if tree is not None}
+    ckptr = ocp.StandardCheckpointer()     # AsyncCheckpointer under the hood
+    for name, tree in parts.items():
+        ckptr.save(os.path.join(path, name + ".orbax"), tree, force=True)
+    if not async_write:
+        ckptr.wait_until_finished()
+    if is_main_process():
+        os.makedirs(path, exist_ok=True)
+        mdst = os.path.join(path, "meta.json")
+        with open(mdst + ".tmp", "w") as f:
+            json.dump({"format_version": 1, "backend": "orbax",
+                       "parts": list(parts), **(meta or {})}, f, indent=2)
+        os.replace(mdst + ".tmp", mdst)
+
+
+def load_checkpoint_orbax(path: str, *, params=None, alphas=None, arch=None,
+                          opt_state=None, ema_params=None) -> Dict[str, Any]:
+    """Restore orbax parts into templates (abstract or concrete pytrees;
+    sharded templates restore to their shardings)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    out: Dict[str, Any] = {"meta": meta}
+    templates = {"params": params, "alphas": alphas, "arch": arch,
+                 "opt_state": opt_state, "ema": ema_params}
+    ckptr = ocp.StandardCheckpointer()
+    for name in meta["parts"]:
+        tpl = templates.get(name)
+        fpath = os.path.join(path, name + ".orbax")
+        if tpl is None or not os.path.exists(fpath):
+            continue
+        out[name] = ckptr.restore(fpath, tpl)
+    return out

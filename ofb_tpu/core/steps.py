@@ -75,7 +75,8 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
                      teacher_apply: Optional[Callable] = None,
                      compute_dtype=jnp.bfloat16, donate: bool = True,
                      fused_augment: bool = False, use_randaug: bool = True,
-                     re_prob: float = 0.25, fused_model: bool = False):
+                     re_prob: float = 0.25, crop_scale=(0.08, 1.0),
+                     hflip: bool = True, fused_model: bool = False):
     """Build the jitted search-phase train step.
 
     Returns step(state, images (A,mb,H,W,C), labels (A,mb), rng, keep_ratio)
@@ -97,7 +98,8 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
             from ..ops.augment import train_augment_batch
             images = train_augment_batch(
                 rng_m, images, out_size=mcfg.img_size,
-                use_randaug=use_randaug, re_prob=re_prob)
+                use_randaug=use_randaug, re_prob=re_prob,
+                crop_scale=crop_scale, hflip=hflip)
         soft = False
         if phase == "postsearch":
             # finish_search transition enables Mixup(0.8)/CutMix(1.0) and

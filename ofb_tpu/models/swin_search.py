@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops import gates as G
 from ..ops.gates import masked_softmax
+from .mim_vit import _GATE_FOLD
 from .search_space import (ArchState, AttnSpace, BlockSpace, DimArch,
                            DimSpace, PatchSpace, SearchSpace)
 from .swin import (SwinCfg, init_swin_params, relative_position_index,
@@ -126,17 +127,28 @@ def init_swin_search(key, cfg: SwinCfg, space: SearchSpace):
 # ---------------------------------------------------------------------------
 
 def _gated_window_attention(p, x, heads, w, rel_idx, mask, blk_alphas,
-                            blk_arch, blk_space, fused):
+                            blk_arch, blk_space, fused, hard_embed=None):
     Bw, N, C = x.shape
     hd = C // heads
-    qkv = linear(p["qkv"], x).reshape(Bw, N, 3, heads, hd)
     a = blk_arch.attn
     if not fused:
         gate, _ = G.bimask_gate_attn(
             p["score"], blk_alphas["attn"], a.switch,
             jnp.asarray(blk_space.attn.mask_bank), a.hard_mask, a.w_p,
             a.finished)
-        qkv = qkv * gate.astype(qkv.dtype)[None, None, None]
+        if _GATE_FOLD:
+            # fold the (H, hd) gate into the qkv kernel columns (3-major
+            # layout matches the reshape below); a (C, 3Hhd) elementwise
+            # instead of a (Bw, N, 3Hhd) one — see mim_vit.gated_attention
+            g3 = jnp.tile(gate.reshape(-1), 3).astype(x.dtype)
+            qkv = (x @ (p["qkv"]["kernel"].astype(x.dtype) * g3[None, :])
+                   + p["qkv"]["bias"].astype(x.dtype) * g3)
+            qkv = qkv.reshape(Bw, N, 3, heads, hd)
+        else:
+            qkv = linear(p["qkv"], x).reshape(Bw, N, 3, heads, hd)
+            qkv = qkv * gate.astype(qkv.dtype)[None, None, None]
+    else:
+        qkv = linear(p["qkv"], x).reshape(Bw, N, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * a.scale
     bias = jnp.take(p["rel_bias"].astype(jnp.float32), rel_idx.reshape(-1),
@@ -148,6 +160,12 @@ def _gated_window_attention(p, x, heads, w, rel_idx, mask, blk_alphas,
         attn = attn.reshape(Bw, heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
+    if hard_embed is not None:
+        # 0/1 embed mask folded into proj columns — bit-identical to
+        # masking the (Bw, N, C) output, much cheaper
+        he = hard_embed.astype(x.dtype)
+        return y @ (p["proj"]["kernel"].astype(x.dtype) * he[None, :]) \
+            + p["proj"]["bias"].astype(x.dtype) * he
     return linear(p["proj"], y)
 
 
@@ -233,29 +251,39 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
             att = _gated_window_attention(
                 bp["attn"], win, heads, w, rel_idx,
                 shift_mask if shift else None, alphas["blocks"][gi],
-                arch.blocks[gi], space.blocks[gi], fused)
+                arch.blocks[gi], space.blocks[gi], fused,
+                hard_embed=hard)   # residual writes masked to live channels
             att = window_reverse(att, w, H_, W_)
-            if hard is not None:
-                # residual writes masked to live channels (the reference
-                # slices proj rows at embed prune events)
-                att = att * hard.astype(att.dtype)
             if shift:
                 att = jnp.roll(att, (shift, shift), axis=(1, 2))
             h = h + drop_path(att, dps[gi], next(rngs), train)
 
             mlp_in = _ln(h.reshape(B_, -1, C_), bp["norm2"])
-            y = linear(bp["mlp"]["fc1"], mlp_in)
             m = arch.blocks[gi].mlp
             if not fused:
                 gate, _ = G.bimask_gate_1d(
                     bp["mlp"]["score"], alphas["blocks"][gi]["mlp"],
                     m.switch, jnp.asarray(space.blocks[gi].mlp.mask_bank),
                     m.hard_mask, m.w_p, m.finished)
-                y = y * gate.astype(y.dtype)
+                if _GATE_FOLD:
+                    g = gate.astype(mlp_in.dtype)
+                    y = mlp_in @ (bp["mlp"]["fc1"]["kernel"].astype(
+                        mlp_in.dtype) * g[None, :]) \
+                        + bp["mlp"]["fc1"]["bias"].astype(mlp_in.dtype) * g
+                else:
+                    y = linear(bp["mlp"]["fc1"], mlp_in)
+                    y = y * gate.astype(y.dtype)
+            else:
+                y = linear(bp["mlp"]["fc1"], mlp_in)
             y = jax.nn.gelu(y, approximate=False)
-            y = linear(bp["mlp"]["fc2"], y).reshape(B_, H_, W_, C_)
             if hard is not None:
-                y = y * hard.astype(y.dtype)
+                he = hard.astype(y.dtype)
+                y = (y @ (bp["mlp"]["fc2"]["kernel"].astype(y.dtype)
+                          * he[None, :])
+                     + bp["mlp"]["fc2"]["bias"].astype(y.dtype) * he
+                     ).reshape(B_, H_, W_, C_)
+            else:
+                y = linear(bp["mlp"]["fc2"], y).reshape(B_, H_, W_, C_)
             h = h + drop_path(y, dps[gi], next(rngs), train)
             gi += 1
 

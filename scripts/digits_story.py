@@ -100,9 +100,16 @@ def main():
     print(json.dumps({"stage": "dense", **results["dense"]}), flush=True)
 
     # ---- 2. OFB search to the FLOPs target ------------------------------
+    # same mild-augment reasoning as the finetune recipe: the ImageNet
+    # search recipe (RandAugment m9 + erasing + blr 2.5e-4) leaves the
+    # supernet at chance accuracy on 1,280 tiny images, which makes the
+    # best-checkpoint selection meaningless
+    search_recipe = ["--aa", "", "--reprob", "0", "--min-crop-scale",
+                     "0.55", "--no-hflip", "--smoothing", "0.0",
+                     "--blr", "2e-3", "--blr_decoder", "2e-3"]
     sp = se.get_args_parser()
     search_out = os.path.join(args.out, "search")
-    sargs = sp.parse_args(common + [
+    sargs = sp.parse_args(common + search_recipe + [
         "--epochs", str(args.search_epochs), "--output_dir", search_out,
         "--target_flops", str(args.target_flops),
         "--fuse_point", str(args.search_epochs + 1),

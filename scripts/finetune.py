@@ -339,7 +339,13 @@ def main(args):
                 scale = plateau.update(win_acc)
                 state = state.replace(
                     opt_state=set_lr_scale(state.opt_state, scale))
-            logger.log_epoch(epoch, train_stats, test_stats, 0, 0.0)
+            # live param count + model GFLOPs per epoch like the reference
+            # (finetune.py:477-484 logs n_parameters; static here)
+            n_params = sum(int(x.size) for x in
+                           jax.tree_util.tree_leaves(state.params))
+            from ofb_tpu.models.vit import dense_flops
+            logger.log_epoch(epoch, train_stats, test_stats, n_params,
+                             dense_flops(cfg))
 
     master_print(f"Finetune time "
                  f"{time.strftime('%H:%M:%S', time.gmtime(time.time() - t0))}")

@@ -152,11 +152,66 @@ def main():
     dt = time_fn(run_dense, lambda: float(dh["m"]["loss"]), args.steps)
     rows["dense_step"] = (batch / dt, batch / dt * 3 * fwd_flops / PEAK_FLOPS)
 
+    # 4) search step without the PMIM decoder (mae off) — isolates the
+    #    SimMIM decoder + masked-L1 + norm_targets cost
+    from ofb_tpu.models.mim_vit import init_mim_params
+    nm_params = init_mim_params(jax.random.PRNGKey(3), cfg, space, mae=False)
+    nm_state = TrainState(step=jnp.asarray(0, jnp.int32), params=nm_params,
+                          alphas=alphas, arch=arch,
+                          opt_state=tx.init((nm_params, alphas)))
+    nm_step = make_search_step(space, cfg, scfg, tx, phase="search",
+                               compute_dtype=compute, donate=False)
+    nh = {"s": nm_state}
+
+    def run_nomim():
+        nh["s"], nh["m"] = nm_step(nh["s"], imgs5, lbls5, rng, keep)
+
+    dt = time_fn(run_nomim, lambda: float(nh["m"]["loss_total"]), args.steps)
+    rows["search_no_mim"] = (batch / dt, batch / dt * 3 * fwd_flops
+                             / PEAK_FLOPS)
+
+    # 5) search step with a free optimizer (sgd lr=0) — the three-family
+    #    AdamW's cost is the gap to search_step
+    ztx = optax.sgd(0.0)
+    zstate = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                        alphas=alphas, arch=arch,
+                        opt_state=ztx.init((params, alphas)))
+    zstep = make_search_step(space, cfg, scfg, ztx, phase="search",
+                             compute_dtype=compute, donate=False)
+    zh = {"s": zstate}
+
+    def run_zopt():
+        zh["s"], zh["m"] = zstep(zh["s"], imgs5, lbls5, rng, keep)
+
+    dt = time_fn(run_zopt, lambda: float(zh["m"]["loss_total"]), args.steps)
+    rows["search_sgd0"] = (batch / dt, batch / dt * 3 * fwd_flops
+                           / PEAK_FLOPS)
+
+    # 6) device augment pipeline alone (staging 256px uint8 -> RandAugment
+    #    -> out_size), per-batch time expressed as img/s
+    if not (args.tiny or not on_tpu):
+        from ofb_tpu.ops.augment import train_augment_batch
+        staged = jnp.asarray(np.random.RandomState(4).randint(
+            0, 255, (batch, 256, 256, 3), np.uint8))
+        aug = jax.jit(lambda r, im: train_augment_batch(
+            r, im, out_size=cfg.img_size, use_randaug=True, re_prob=0.25))
+        ah = {}
+
+        def run_aug():
+            ah["o"] = aug(rng, staged)
+
+        dt = time_fn(run_aug, lambda: float(ah["o"].sum()), args.steps)
+        rows["augment_only"] = (batch / dt, 0.0)
+
     out = {"model": bundle.name, "batch": batch,
            "rows": {k: {"img_s": round(v[0], 1), "mfu": round(v[1], 4)}
                     for k, v in rows.items()},
            "search_overhead_vs_dense": round(
-               rows["dense_step"][0] / rows["search_step"][0] - 1.0, 4)}
+               rows["dense_step"][0] / rows["search_step"][0] - 1.0, 4),
+           "mim_decoder_cost": round(
+               rows["search_no_mim"][0] / rows["search_step"][0] - 1.0, 4),
+           "adamw_cost": round(
+               rows["search_sgd0"][0] / rows["search_step"][0] - 1.0, 4)}
     print(json.dumps(out))
 
 

@@ -72,6 +72,11 @@ def get_args_parser():
     p.add_argument("--no-repeated-aug", action="store_false",
                    dest="repeated_aug")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--min-crop-scale", type=float, default=0.08,
+                   help="RandomResizedCrop scale lower bound (small "
+                        "datasets need a gentler crop than ImageNet's .08)")
+    p.add_argument("--no-hflip", action="store_false", dest="hflip",
+                   default=True)
     p.add_argument("--mixup", type=float, default=0.0)
     p.add_argument("--cutmix", type=float, default=0.0)
     p.add_argument("--cutmix-minmax", type=float, nargs="+",
@@ -345,6 +350,8 @@ def main(args):
                                 fused_augment=args.fused_augment,
                                 use_randaug=bool(args.aa),
                                 re_prob=args.reprob,
+                                crop_scale=(args.min_crop_scale, 1.0),
+                                hflip=args.hflip,
                                 fused_model=bool(
                                     jax.device_get(state.arch.fused)))
 
@@ -378,6 +385,8 @@ def main(args):
         feed = device_feed(loader, rng=feed_rng, train=True,
                            accum_iter=scfg.accum_iter, out_size=out_size,
                            use_randaug=bool(args.aa), re_prob=args.reprob,
+                           crop_scale=(args.min_crop_scale, 1.0),
+                           hflip=args.hflip,
                            batch_sharding=bsh, raw=args.fused_augment)
 
         was_finished = finish_search

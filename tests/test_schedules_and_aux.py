@@ -199,3 +199,32 @@ def test_distributed_indices_drop_last():
     assert all(len(p) == 2 for p in parts)          # floor(10/4) each
     covered = np.concatenate(parts)
     assert len(set(covered.tolist())) == 8          # tail dropped, no dups
+
+
+def test_checkpoint_orbax_backend_roundtrip(tmp_path, monkeypatch):
+    """Orbax backend: same artifact layout (parts + meta.json), selected by
+    OFB_CKPT_BACKEND=orbax; restores through the generic load_checkpoint
+    (backend recorded in meta). Covers sharded trees: params saved as
+    device arrays on the 8-device mesh restore equal."""
+    from ofb_tpu.core import checkpoint as ckpt
+    from ofb_tpu.parallel.mesh import make_mesh, replicate
+    space, params, alphas, arch = tiny()
+    mesh = make_mesh()
+    sharded = replicate(mesh, params)
+    d = str(tmp_path / "orbax_ckpt")
+    monkeypatch.setenv("OFB_CKPT_BACKEND", "orbax")
+    ckpt.save_checkpoint(d, params=sharded, alphas=alphas, arch=arch,
+                         meta={"epoch": 7})
+    monkeypatch.delenv("OFB_CKPT_BACKEND")
+    assert ckpt.latest_meta(d)["backend"] == "orbax"
+    p2 = init_mim_params(jax.random.PRNGKey(42), CFG, space)
+    a2 = init_alphas(jax.random.PRNGKey(43), space)
+    r = ckpt.load_checkpoint(d, params=p2, alphas=a2,
+                             arch=ArchState.create(space))
+    assert r["meta"]["epoch"] == 7
+    np.testing.assert_allclose(np.asarray(r["params"]["cls_token"]),
+                               np.asarray(params["cls_token"]))
+    np.testing.assert_array_equal(np.asarray(r["alphas"]["embed"]),
+                                  np.asarray(alphas["embed"]))
+    np.testing.assert_array_equal(np.asarray(r["arch"].embed.hard_mask),
+                                  np.asarray(arch.embed.hard_mask))
