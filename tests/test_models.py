@@ -245,3 +245,14 @@ def test_dense_flops_respects_block_overrides():
                        embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0,
                        block_overrides=((1, 8, 16), (2, 16, 64)))
     assert dense_flops(trimmed) < base
+
+
+def test_window_sum_cumsum_matches_reduce_window():
+    """The integral-image box filter (default) must match the separable
+    reduce_window within fp32 cumsum tolerance at the PMIM window size."""
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 96, 96, 3)
+                    .astype(np.float32))
+    for k in (3, 47):
+        a = np.asarray(pmim._window_sum_reduce(x, k))
+        b = np.asarray(pmim._window_sum_cumsum(x, k))
+        np.testing.assert_allclose(a, b, atol=2e-4)
