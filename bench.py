@@ -37,6 +37,9 @@ def main():
                              "swin_tiny", "swin_small"])
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint per block (memory for FLOPs)")
+    ap.add_argument("--fused-augment", action="store_true",
+                    help="end-to-end: uint8 staging batch -> device "
+                         "RandAugment -> search step in ONE XLA program")
     args = ap.parse_args()
 
     import jax
@@ -87,12 +90,17 @@ def main():
 
     step = make_search_step(bundle.space, bundle.cfg, scfg, tx,
                             phase=args.phase, compute_dtype=compute,
-                            donate=False)
+                            donate=False, fused_augment=args.fused_augment)
 
     H = bundle.cfg.img_size
     rng = jax.random.PRNGKey(1)
-    imgs = jnp.asarray(np.random.RandomState(0).rand(1, batch, H, H, 3),
-                       jnp.float32)
+    if args.fused_augment:
+        S = max(H + 32, 256) if H >= 224 else H    # staging size
+        imgs = jnp.asarray(np.random.RandomState(0).randint(
+            0, 255, (1, batch, S, S, 3), np.uint8))
+    else:
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, batch, H, H, 3),
+                           jnp.float32)
     lbls = jnp.asarray(
         np.random.RandomState(1).randint(0, bundle.cfg.num_classes,
                                          (1, batch)))
@@ -128,6 +136,8 @@ def main():
     name = ("tiny" if (args.tiny or not on_tpu)
             else {"deit_small": "deit_s", "deit_base": "deit_b",
                   "deit_tiny": "deit_t"}[args.model])
+    if args.fused_augment:
+        name += "_e2e"
     print(json.dumps({
         "metric": f"{name}_ofb_search_step_throughput",
         "value": round(img_s, 2),
