@@ -42,6 +42,9 @@ def get_args_parser():
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--min-crop-scale", type=float, default=0.08)
+    p.add_argument("--no-hflip", action="store_false", dest="hflip",
+                   default=True)
     p.add_argument("--repeated-aug", action="store_true", default=True)
     p.add_argument("--no-repeated-aug", action="store_false",
                    dest="repeated_aug")
@@ -65,6 +68,15 @@ def get_args_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true")
+    p.add_argument("--force-finish", action="store_true",
+                   help="if the search has not converged by the last epoch, "
+                        "force every module to its argmax cell (the "
+                        "reference's compress(1.0) pre-export, "
+                        "finetune.py:199-201) so the subnet exports")
+    p.add_argument("--export-finetune-epochs", default=0, type=int,
+                   help="finetune the exported (sliced) subnet for N epochs "
+                        "to recover the hard-pruning drop (the reference's "
+                        "finetune stage, run_exp.sh:22)")
     return p
 
 
@@ -188,7 +200,8 @@ def main(args):
         feed = device_feed(loader, rng=frng, train=True,
                            accum_iter=scfg.accum_iter, out_size=out_size,
                            use_randaug=bool(args.aa), re_prob=args.reprob,
-                           batch_sharding=bsh)
+                           crop_scale=(args.min_crop_scale, 1.0),
+                           hflip=args.hflip, batch_sharding=bsh)
         state, stats, finish_search, pruned = search_one_epoch(
             state, wrapped, feed, epoch=epoch,
             steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
@@ -224,15 +237,144 @@ def main(args):
             max_acc = max(max_acc, test_stats["acc1"])
             logger.log_epoch(epoch, stats, test_stats, 0, 0.0)
 
+    if not finish_search and args.force_finish:
+        # export from the BEST checkpoint, not the final epoch: late-stage
+        # arch-loss pressure degrades the classifier (fuse-at-best parity,
+        # reference search.py:775-787)
+        best_dir = os.path.join(scfg.output_dir, "best") \
+            if scfg.output_dir else None
+        if best_dir and os.path.exists(os.path.join(best_dir, "meta.json")):
+            restored = ckpt.load_checkpoint(
+                best_dir, params=state.params, alphas=state.alphas,
+                arch=state.arch)
+            state = state.replace(params=restored["params"],
+                                  alphas=restored["alphas"],
+                                  arch=restored["arch"])
+            master_print(f"export from best (epoch "
+                         f"{restored['meta'].get('epoch')}, acc1 "
+                         f"{restored['meta'].get('acc1'):.2f}%)")
+        # repeated compress(1.0) passes until convergence, like the ViT
+        # export path (scripts/export.py; reference finetune.py:199-201)
+        from ofb_tpu.core.compress import compress
+        p2 = jax.device_get(state.params)
+        a2 = jax.device_get(state.alphas)
+        ar2 = jax.tree_util.tree_map(jax.device_get, state.arch)
+        guard = 0
+        while not ar2.all_finished and guard < 20:
+            p2, a2, ar2, _, rep = compress(p2, a2, ar2, None, space,
+                                           thresh=1.0)
+            guard += 1
+            master_print("force-finish:",
+                         "; ".join(rep.events) or "(no event)")
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, p2),
+            alphas=jax.tree_util.tree_map(jnp.asarray, a2), arch=ar2)
+        finish_search = bool(ar2.all_finished)
+
     if finish_search and scfg.output_dir:
         dense, dcfg_out, meta = export_swin_subnet(
             jax.device_get(state.params),
             jax.tree_util.tree_map(jax.device_get, state.arch), space, cfg)
+
+        # evaluate the sliced subnet (plain swin_forward, no gates) — the
+        # gated==sliced invariant means this should match the supernet
+        from ofb_tpu.core.steps import _cls_metrics
+        from ofb_tpu.models.swin import swin_forward
+
+        @jax.jit
+        def dense_eval(params, images, labels):
+            logits = swin_forward(params, images, dcfg_out, train=False,
+                                  compute_dtype=compute)
+            return _cls_metrics(logits, labels)
+
+        vloader = make_epoch_loader(ds_val, epoch=0, rank=rank, world=world,
+                                    batch_size=args.batch_size,
+                                    repeated_aug=False, train=False,
+                                    seed=scfg.seed)
+        vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0), train=False,
+                            accum_iter=1, out_size=out_size,
+                            batch_sharding=None)
+        exp_stats = evaluate(dense_eval, vfeed, dense)
+        master_print(f"exported subnet acc1 {exp_stats['acc1']:.2f}% "
+                     f"(supernet best {max_acc:.2f}%)")
         ckpt.save_checkpoint(os.path.join(scfg.output_dir, "model_exported"),
                              params=dense,
                              meta={"exported": True, "family": "swin",
+                                   "acc1": exp_stats["acc1"],
+                                   "supernet_best_acc1": max_acc,
                                    **meta})
         master_print("saved model_exported (sliced Swin subnet)")
+
+        if args.export_finetune_epochs > 0:
+            # recover the hard-pruning drop: plain supervised finetune of
+            # the sliced subnet (the reference's stage 2, run_exp.sh:22)
+            import optax
+            from ofb_tpu.core.optim import cosine_schedule
+            from ofb_tpu.core.steps import TrainState as TS
+            ft_epochs = args.export_finetune_epochs
+            ft_lr = (args.blr or 2.5e-4) * args.batch_size * world / 256
+            sch = cosine_schedule(
+                ft_lr, ScheduleConfig(warmup_lr=1e-6, min_lr=1e-6,
+                                      warmup_epochs=min(5, ft_epochs // 4)),
+                ft_epochs * steps_per_epoch, steps_per_epoch)
+            ftx = optax.adamw(sch, weight_decay=0.05)
+            dense_dev = replicate(mesh, jax.tree_util.tree_map(jnp.asarray,
+                                                               dense))
+            fstate = TS(step=jnp.asarray(0, jnp.int32), params=dense_dev,
+                        alphas=None, arch=None,
+                        opt_state=ftx.init(dense_dev))
+
+            @jax.jit
+            def ft_step(st, images, labels, rng):
+                def loss_fn(p):
+                    logits = swin_forward(p, images[0], dcfg_out, train=True,
+                                          rng=rng, compute_dtype=compute)
+                    import ofb_tpu.core.losses as L
+                    return L.base_criterion(logits, labels[0],
+                                            soft_labels=False,
+                                            smoothing=args.smoothing)
+                loss, g = jax.value_and_grad(loss_fn)(st.params)
+                upd, no = ftx.update(g, st.opt_state, st.params)
+                return st.replace(step=st.step + 1,
+                                  params=optax.apply_updates(st.params, upd),
+                                  opt_state=no), {"loss": loss}
+
+            ft_best = 0.0
+            frng = jax.random.PRNGKey(scfg.seed + 777)
+            for fe in range(ft_epochs):
+                floader = make_epoch_loader(
+                    ds_train, epoch=fe, rank=rank, world=world,
+                    batch_size=args.batch_size, repeated_aug=False,
+                    train=True, seed=scfg.seed)
+                frng, a, b = jax.random.split(frng, 3)
+                ffeed = device_feed(floader, rng=a, train=True, accum_iter=1,
+                                    out_size=out_size,
+                                    use_randaug=bool(args.aa),
+                                    re_prob=args.reprob,
+                                    crop_scale=(args.min_crop_scale, 1.0),
+                                    hflip=args.hflip, batch_sharding=bsh)
+                for images, labels in ffeed:     # (A=1, mb, H, W, 3)
+                    b, sub = jax.random.split(b)
+                    fstate, fm = ft_step(fstate, images, labels, sub)
+                if fe % max(args.eval_every, 1) == 0 or fe == ft_epochs - 1:
+                    vloader = make_epoch_loader(
+                        ds_val, epoch=0, rank=rank, world=world,
+                        batch_size=args.batch_size, repeated_aug=False,
+                        train=False, seed=scfg.seed)
+                    vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
+                                        train=False, accum_iter=1,
+                                        out_size=out_size,
+                                        batch_sharding=None)
+                    fstats = evaluate(dense_eval, vfeed, fstate.params)
+                    ft_best = max(ft_best, fstats["acc1"])
+            master_print(f"finetuned subnet acc1 {ft_best:.2f}% "
+                         f"(exported {exp_stats['acc1']:.2f}%, supernet "
+                         f"best {max_acc:.2f}%)")
+            ckpt.save_checkpoint(
+                os.path.join(scfg.output_dir, "model_finetuned"),
+                params=fstate.params,
+                meta={"exported": True, "family": "swin",
+                      "acc1": ft_best, **meta})
 
     ckpt.wait_for_pending_saves()
     master_print(f"Swin search time "

@@ -14,7 +14,8 @@ def test_swin_search_cli_smoke(tmp_path):
     argv = ["search_swin.py", "--data-set", "SYNTHETIC", "--tiny-test",
             "--epochs", "1", "--batch-size", "64", "--accum-iter", "1",
             "--output_dir", out, "--compute-dtype", "float32",
-            "--compress-thresh", "1.5", "--num_workers", "0"]
+            "--compress-thresh", "1.5", "--num_workers", "0",
+            "--force-finish", "--export-finetune-epochs", "1"]
     code = (f"import sys; sys.argv = {argv!r}; "
             "import jax; jax.config.update('jax_platforms', 'cpu'); "
             "import runpy; "
@@ -26,6 +27,10 @@ def test_swin_search_cli_smoke(tmp_path):
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "saved model_exported" in r.stdout
+    assert "exported subnet acc1" in r.stdout
+    assert "finetuned subnet acc1" in r.stdout
     meta = json.load(open(os.path.join(out, "model_exported", "meta.json")))
     assert meta["exported"] and meta["family"] == "swin"
     assert all(b["mlp_hidden"] > 0 for b in meta["blocks"])
+    ft = json.load(open(os.path.join(out, "model_finetuned", "meta.json")))
+    assert ft["exported"] and "acc1" in ft
