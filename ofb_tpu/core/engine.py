@@ -45,12 +45,15 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
     state machine fires compress_per_epoch times per epoch at accumulation
     boundaries (reference engine.py:201-213).
     """
+    import time as _time
     logger = MetricLogger(print_fn=print_fn)
     execute_pruned = False
     A = scfg.accum_iter
     micro_per_epoch = steps_per_epoch * A
     compress_every = max(steps_per_epoch // scfg.compress_per_epoch, 1)
     pending = []          # (step_idx, device metrics) for lazy readback
+    t_epoch = _time.time()
+    n_images = 0
 
     def flush():
         for _, m in pending:
@@ -70,6 +73,8 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, imgs, lbls, sub, jnp.asarray(keep))
         pending.append((it, metrics))
+        n_images += int(np.prod(imgs.shape[:2])) if imgs.ndim == 5 \
+            else imgs.shape[0]
 
         if it % log_every == 0 or it == steps_per_epoch - 1:
             flush()
@@ -94,7 +99,16 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
             finish_search = report.finish_search
 
     flush()
-    return state, logger.averages(), finish_search, execute_pruned
+    # sustained epoch throughput, wall-clock incl. feed + compress passes
+    # (flush() above read metrics back, so device work is drained —
+    # the reference prints the same per-epoch total, utils.py:161-164)
+    dt = _time.time() - t_epoch
+    stats = logger.averages()
+    stats["epoch_time_s"] = dt
+    stats["img_s"] = n_images / max(dt, 1e-9)
+    print_fn(f"Epoch [{epoch}] total {dt:.1f}s "
+             f"({stats['img_s']:.1f} img/s sustained)")
+    return state, stats, finish_search, execute_pruned
 
 
 def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
@@ -102,12 +116,17 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
                     log_every: int = 10, print_fn=master_print
                     ) -> Tuple[TrainState, Dict[str, float]]:
     """Plain finetune epoch (reference engine.py:18-72)."""
+    import time as _time
     logger = MetricLogger(print_fn=print_fn)
     pending = []
+    t_epoch = _time.time()
+    n_images = 0
     for it, (imgs, lbls) in enumerate(feed):
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, imgs, lbls, sub)
         pending.append(metrics)
+        n_images += int(np.prod(imgs.shape[:2])) if imgs.ndim == 5 \
+            else imgs.shape[0]
         if it % log_every == 0 or it == steps_per_epoch - 1:
             for m in pending:
                 logger.update(**{k: float(v) for k, v in m.items()})
@@ -119,7 +138,11 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
             print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
     for m in pending:
         logger.update(**{k: float(v) for k, v in m.items()})
-    return state, logger.averages()
+    dt = _time.time() - t_epoch
+    stats = logger.averages()
+    stats["epoch_time_s"] = dt
+    stats["img_s"] = n_images / max(dt, 1e-9)
+    return state, stats
 
 
 def _allsum_hosts(tot: Dict[str, float]) -> Dict[str, float]:

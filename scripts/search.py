@@ -72,6 +72,9 @@ def get_args_parser():
     p.add_argument("--no-repeated-aug", action="store_false",
                    dest="repeated_aug")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--synthetic-size", type=int, default=2048,
+                   help="samples per epoch when --data-set SYNTHETIC "
+                        "(sustained-epoch benchmarking)")
     p.add_argument("--min-crop-scale", type=float, default=0.08,
                    help="RandomResizedCrop scale lower bound (small "
                         "datasets need a gentler crop than ImageNet's .08)")
@@ -221,7 +224,8 @@ def main(args):
                         input_size=args.input_size,
                         num_workers=args.num_workers,
                         repeated_aug=args.repeated_aug,
-                        batch_size=args.batch_size),
+                        batch_size=args.batch_size,
+                        synthetic_size=args.synthetic_size),
         mixup=MixupConfig(mixup=args.mixup, cutmix=args.cutmix,
                           prob=args.mixup_prob,
                           switch_prob=args.mixup_switch_prob,
