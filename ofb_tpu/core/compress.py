@@ -458,6 +458,22 @@ def decompress(arch: ArchState) -> ArchState:
         patch=pa)
 
 
+@jax.jit
+def _update_w_p_device(arch: ArchState, val: jnp.ndarray) -> ArchState:
+    """One fused device program, no host readbacks: finished modules keep
+    their last w_p via jnp.where (this runs EVERY iteration of the hot
+    loop — the per-module `bool(finished)` branch it replaces cost a
+    blocking device->host round-trip per module per iteration, ~150 ms on
+    the TPU relay)."""
+    def upd(m):
+        return m.replace(w_p=jnp.where(m.finished, m.w_p, val))
+    return arch.replace(
+        embed=upd(arch.embed),
+        blocks=tuple(b.replace(attn=upd(b.attn), mlp=upd(b.mlp))
+                     for b in arch.blocks),
+        stage_embeds=tuple(upd(d) for d in arch.stage_embeds))
+
+
 def update_w_p(arch: ArchState, frac_epoch: float, warmup_epochs: float,
                w_max: float = 0.99, w_min: float = 0.1) -> ArchState:
     """Anneal w_p for every *unfinished* module (reference engine.py:110-117
@@ -468,15 +484,4 @@ def update_w_p(arch: ArchState, frac_epoch: float, warmup_epochs: float,
     val = jnp.asarray(
         w_max + (w_min - w_max) * (frac_epoch / max(warmup_epochs, 1e-8)),
         jnp.float32)
-
-    def upd_dim(d: DimArch) -> DimArch:
-        return d if bool(d.finished) else d.replace(w_p=val)
-
-    def upd_attn(a: AttnArch) -> AttnArch:
-        return a if bool(a.finished) else a.replace(w_p=val)
-
-    return arch.replace(
-        embed=upd_dim(arch.embed),
-        blocks=tuple(b.replace(attn=upd_attn(b.attn), mlp=upd_dim(b.mlp))
-                     for b in arch.blocks),
-        stage_embeds=tuple(upd_dim(d) for d in arch.stage_embeds))
+    return _update_w_p_device(arch, val)
