@@ -56,7 +56,11 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
     n_images = 0
 
     def flush():
-        for _, m in pending:
+        # ONE device_get for the whole pending window — float(v) per metric
+        # would be a blocking device->host round-trip per scalar (the relay
+        # charges ~3-5 ms each; 6 metrics x 10 steps adds up)
+        host = jax.device_get([m for _, m in pending])
+        for m in host:
             logger.update(**{k: float(v) for k, v in m.items()})
         pending.clear()
 
@@ -128,7 +132,7 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
         n_images += int(np.prod(imgs.shape[:2])) if imgs.ndim == 5 \
             else imgs.shape[0]
         if it % log_every == 0 or it == steps_per_epoch - 1:
-            for m in pending:
+            for m in jax.device_get(pending):
                 logger.update(**{k: float(v) for k, v in m.items()})
             pending.clear()
             loss_val = logger.meters["loss"].value
@@ -136,7 +140,7 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
                 print_fn(f"Loss is {loss_val}, stopping training")
                 sys.exit(1)
             print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
-    for m in pending:
+    for m in jax.device_get(pending):
         logger.update(**{k: float(v) for k, v in m.items()})
     dt = _time.time() - t_epoch
     stats = logger.averages()
