@@ -64,13 +64,18 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
             logger.update(**{k: float(v) for k, v in m.items()})
         pending.clear()
 
+    # non-progressive keep ratio changes only at compress events — cache it
+    # instead of a per-iteration device readback of the patch switch
+    keep_cache = None if scfg.progressive else \
+        _smallest_active_patch_ratio(state.arch, space)
+
     for it, (imgs, lbls) in enumerate(feed):
         frac_epoch = (it * A) / max(micro_per_epoch, 1) + epoch
         if scfg.progressive:
             keep = scfg.max_ratio - (scfg.max_ratio - scfg.min_ratio) * min(
                 frac_epoch / max(scfg.schedule.warmup_epochs, 1e-8), 1.0)
         else:
-            keep = _smallest_active_patch_ratio(state.arch, space)
+            keep = keep_cache
         state = state.replace(arch=update_w_p(
             state.arch, frac_epoch, scfg.schedule.warmup_epochs))
 
@@ -101,6 +106,8 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
             for e in report.events:
                 print_fn(f"  {e}")
             finish_search = report.finish_search
+            if not scfg.progressive:
+                keep_cache = _smallest_active_patch_ratio(state.arch, space)
 
     flush()
     # sustained epoch throughput, wall-clock incl. feed + compress passes
@@ -179,7 +186,7 @@ def evaluate(eval_step: Callable, feed: Iterable, *args,
         if imgs.ndim == 5:          # (A, mb, ...) -> flatten accum
             imgs = imgs.reshape(-1, *imgs.shape[2:])
             lbls = lbls.reshape(-1)
-        m = eval_step(*args, imgs, lbls)
+        m = jax.device_get(eval_step(*args, imgs, lbls))   # one transfer
         for k in tot:
             tot[k] += float(m[k])
     tot = _allsum_hosts(tot)
