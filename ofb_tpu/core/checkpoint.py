@@ -26,6 +26,7 @@ from flax import serialization
 from ..utils.logging import is_main_process
 
 _PENDING: Dict[str, threading.Thread] = {}
+_PENDING_ORBAX: list = []
 _PENDING_LOCK = threading.Lock()
 
 
@@ -94,8 +95,12 @@ def wait_for_pending_saves():
     with _PENDING_LOCK:
         pending = list(_PENDING.values())
         _PENDING.clear()
+        pending_orbax = list(_PENDING_ORBAX)
+        _PENDING_ORBAX.clear()
     for t in pending:
         t.join()
+    for c in pending_orbax:
+        c.wait_until_finished()
 
 
 def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
@@ -164,7 +169,13 @@ def save_checkpoint_orbax(path: str, *, params, alphas=None, arch=None,
     ckptr = ocp.StandardCheckpointer()     # AsyncCheckpointer under the hood
     for name, tree in parts.items():
         ckptr.save(os.path.join(path, name + ".orbax"), tree, force=True)
-    if not async_write:
+    if async_write:
+        # track so wait_for_pending_saves() can join before process exit
+        # (meta.json below is written immediately — readable meta implies
+        # readable parts only after the join, same contract as msgpack)
+        with _PENDING_LOCK:
+            _PENDING_ORBAX.append(ckptr)
+    else:
         ckptr.wait_until_finished()
     if is_main_process():
         os.makedirs(path, exist_ok=True)

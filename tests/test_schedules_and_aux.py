@@ -228,3 +228,21 @@ def test_checkpoint_orbax_backend_roundtrip(tmp_path, monkeypatch):
                                   np.asarray(alphas["embed"]))
     np.testing.assert_array_equal(np.asarray(r["arch"].embed.hard_mask),
                                   np.asarray(arch.embed.hard_mask))
+
+
+def test_checkpoint_orbax_async_joined(tmp_path, monkeypatch):
+    """Async orbax saves must be joinable via wait_for_pending_saves so a
+    process exit never truncates a write."""
+    from ofb_tpu.core import checkpoint as ckpt
+    space, params, alphas, arch = tiny()
+    d = str(tmp_path / "orbax_async")
+    monkeypatch.setenv("OFB_CKPT_BACKEND", "orbax")
+    ckpt.save_checkpoint(d, params=params, meta={"epoch": 3},
+                         async_write=True)
+    monkeypatch.delenv("OFB_CKPT_BACKEND")
+    ckpt.wait_for_pending_saves()
+    p2 = init_mim_params(jax.random.PRNGKey(42), CFG, space)
+    r = ckpt.load_checkpoint(d, params=p2)
+    assert r["meta"]["epoch"] == 3
+    np.testing.assert_allclose(np.asarray(r["params"]["cls_token"]),
+                               np.asarray(params["cls_token"]))
