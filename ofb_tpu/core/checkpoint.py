@@ -26,7 +26,6 @@ from flax import serialization
 from ..utils.logging import is_main_process
 
 _PENDING: Dict[str, threading.Thread] = {}
-_PENDING_ORBAX: list = []
 _PENDING_LOCK = threading.Lock()
 
 
@@ -95,12 +94,8 @@ def wait_for_pending_saves():
     with _PENDING_LOCK:
         pending = list(_PENDING.values())
         _PENDING.clear()
-        pending_orbax = list(_PENDING_ORBAX)
-        _PENDING_ORBAX.clear()
     for t in pending:
         t.join()
-    for c in pending_orbax:
-        c.wait_until_finished()
 
 
 def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
@@ -166,24 +161,39 @@ def save_checkpoint_orbax(path: str, *, params, alphas=None, arch=None,
              (("params", params), ("alphas", alphas), ("arch", arch),
               ("opt_state", opt_state), ("ema", ema_params))
              if tree is not None}
+    # serialize per destination like the msgpack path: a previous async
+    # save to the SAME dir must fully commit before force=True deletes
+    # its target directories
+    norm = "orbax:" + path
+    with _PENDING_LOCK:
+        prev = _PENDING.get(norm)
+    if prev is not None:
+        prev.join()
+
     ckptr = ocp.StandardCheckpointer()     # AsyncCheckpointer under the hood
     for name, tree in parts.items():
         ckptr.save(os.path.join(path, name + ".orbax"), tree, force=True)
-    if async_write:
-        # track so wait_for_pending_saves() can join before process exit
-        # (meta.json below is written immediately — readable meta implies
-        # readable parts only after the join, same contract as msgpack)
-        with _PENDING_LOCK:
-            _PENDING_ORBAX.append(ckptr)
-    else:
+
+    def finish():
+        # meta LAST, after every part is durable — readable meta implies
+        # readable parts (same crash-safety contract as the msgpack path)
         ckptr.wait_until_finished()
-    if is_main_process():
-        os.makedirs(path, exist_ok=True)
-        mdst = os.path.join(path, "meta.json")
-        with open(mdst + ".tmp", "w") as f:
-            json.dump({"format_version": 1, "backend": "orbax",
-                       "parts": list(parts), **(meta or {})}, f, indent=2)
-        os.replace(mdst + ".tmp", mdst)
+        if is_main_process():
+            os.makedirs(path, exist_ok=True)
+            mdst = os.path.join(path, "meta.json")
+            with open(mdst + ".tmp", "w") as f:
+                json.dump({"format_version": 1, "backend": "orbax",
+                           "parts": list(parts), **(meta or {})}, f,
+                          indent=2)
+            os.replace(mdst + ".tmp", mdst)
+
+    if async_write:
+        t = threading.Thread(target=finish, daemon=True)
+        with _PENDING_LOCK:
+            _PENDING[norm] = t
+        t.start()
+    else:
+        finish()
 
 
 def load_checkpoint_orbax(path: str, *, params=None, alphas=None, arch=None,

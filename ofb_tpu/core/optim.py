@@ -107,7 +107,18 @@ def make_schedule(base_lr: float, sched: ScheduleConfig, total_steps: int,
     if sched.sched == "step":
         return step_schedule(base_lr, sched, steps_per_epoch)
     if sched.sched in ("plateau", "constant"):
-        return lambda count: base_lr
+        # warmup prefix then flat base_lr; the plateau decay itself rides
+        # the lr_scale slot (timm PlateauLRScheduler also applies warmup,
+        # reference lr_sched.py:106-121)
+        warmup_steps = int(sched.warmup_epochs * steps_per_epoch)
+
+        def fn(count):
+            count = jnp.asarray(count, jnp.float32)
+            warm = sched.warmup_lr + (base_lr - sched.warmup_lr) * (
+                count / max(warmup_steps, 1))
+            return jnp.where(count < warmup_steps, warm, base_lr)
+
+        return fn
     raise ValueError(f"unknown scheduler '{sched.sched}' "
                      "(cosine | tanh | step | plateau | constant)")
 

@@ -159,8 +159,9 @@ def gated_attention(p: Params, x: jnp.ndarray, alphas_blk, arch_blk,
             # via OFB_GATE_FOLD=1 (same math, grads flow to score/alpha
             # through the kernel product)
             g3 = jnp.tile(gate.reshape(-1), 3).astype(x.dtype)
-            qkv = (x @ (p["qkv"]["kernel"].astype(x.dtype) * g3[None, :])
-                   + p["qkv"]["bias"].astype(x.dtype) * g3)
+            qkv = x @ (p["qkv"]["kernel"].astype(x.dtype) * g3[None, :])
+            if "bias" in p["qkv"]:        # qkv_bias=False configs (miil)
+                qkv = qkv + p["qkv"]["bias"].astype(x.dtype) * g3
             qkv = qkv.reshape(B, N, 3, H, hd)
         else:
             qkv = linear(p["qkv"], x).reshape(B, N, 3, H, hd)
@@ -178,8 +179,9 @@ def gated_attention(p: Params, x: jnp.ndarray, alphas_blk, arch_blk,
     # hard_embed is exactly 0/1, so folding it into the proj columns is
     # bit-identical to masking the (B, N, D) output and much cheaper
     he = hard_embed.astype(x.dtype)
-    y = y @ (p["proj"]["kernel"].astype(x.dtype) * he[None, :]) \
-        + p["proj"]["bias"].astype(x.dtype) * he
+    y = y @ (p["proj"]["kernel"].astype(x.dtype) * he[None, :])
+    if "bias" in p["proj"]:
+        y = y + p["proj"]["bias"].astype(x.dtype) * he
     if train and cfg.drop_rate > 0.0 and rng is not None:
         y = dropout(y, cfg.drop_rate, r2, train)
     return y
@@ -197,8 +199,9 @@ def gated_mlp(p: Params, x: jnp.ndarray, alphas_blk, arch_blk, space_blk,
             m.finished)
         if _GATE_FOLD:
             g = gate.astype(x.dtype)
-            h = x @ (p["fc1"]["kernel"].astype(x.dtype) * g[None, :]) \
-                + p["fc1"]["bias"].astype(x.dtype) * g
+            h = x @ (p["fc1"]["kernel"].astype(x.dtype) * g[None, :])
+            if "bias" in p["fc1"]:
+                h = h + p["fc1"]["bias"].astype(x.dtype) * g
         else:
             h = linear(p["fc1"], x) * gate.astype(x.dtype)
     else:
@@ -209,8 +212,9 @@ def gated_mlp(p: Params, x: jnp.ndarray, alphas_blk, arch_blk, space_blk,
         h = dropout(h, cfg.drop_rate, sub, train)
     # 0/1 hard_embed folded into fc2 columns (see gated_attention)
     he = hard_embed.astype(x.dtype)
-    h = h @ (p["fc2"]["kernel"].astype(x.dtype) * he[None, :]) \
-        + p["fc2"]["bias"].astype(x.dtype) * he
+    h = h @ (p["fc2"]["kernel"].astype(x.dtype) * he[None, :])
+    if "bias" in p["fc2"]:
+        h = h + p["fc2"]["bias"].astype(x.dtype) * he
     if train and cfg.drop_rate > 0.0 and rng is not None:
         _, sub = jax.random.split(rng)
         h = dropout(h, cfg.drop_rate, sub, train)

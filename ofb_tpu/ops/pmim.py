@@ -44,8 +44,11 @@ def _window_sum_reduce(x: jnp.ndarray, k: int) -> jnp.ndarray:
 def _window_sum_cumsum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Same SAME-pad k x k window sum via integral images: per axis, one
     cumsum and a difference of two batch-shared gathers (indices are
-    compile-time constants — no per-image gather, per the augment lesson)."""
-    half = k // 2
+    compile-time constants — no per-image gather, per the augment lesson).
+    SAME padding puts (k-1)//2 before / k//2 after, matching reduce_window
+    for even k as well as odd."""
+    half_lo = (k - 1) // 2
+    half_hi = k // 2
 
     def along(x, axis):
         n = x.shape[axis]
@@ -53,8 +56,8 @@ def _window_sum_cumsum(x: jnp.ndarray, k: int) -> jnp.ndarray:
         zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
         p = jnp.concatenate([zero, c], axis=axis)          # prefix sums, n+1
         i = np.arange(n)
-        hi = np.minimum(i + half, n - 1) + 1               # exclusive upper
-        lo = np.maximum(i - half, 0)
+        hi = np.minimum(i + half_hi, n - 1) + 1            # exclusive upper
+        lo = np.maximum(i - half_lo, 0)
         return jnp.take(p, hi, axis=axis) - jnp.take(p, lo, axis=axis)
 
     return along(along(x, 1), 2)

@@ -327,9 +327,14 @@ def main(args):
                 master_print(f"EMA accuracy: {ema_stats['acc1']:.2f}%")
             win_kind, win_acc = max(candidates, key=lambda kv: kv[1])
             if win_acc >= max_acc and args.output_dir:
+                # store the WINNER's weights as 'params' — consumers load
+                # only that part, so it must be the weights that achieved
+                # the recorded acc1 (raw kept alongside as 'ema' slot swap)
+                win_params = state.ema_params if win_kind == "ema" \
+                    else state.params
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "best"),
-                    params=state.params, ema_params=state.ema_params,
+                    params=win_params, ema_params=state.ema_params,
                     meta={"epoch": epoch, "acc1": win_acc,
                           "eval_winner": win_kind,
                           "exported": True, "model_cfg": _cfg_meta(cfg)})

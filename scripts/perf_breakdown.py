@@ -134,11 +134,8 @@ def main():
     # 3) dense supervised step on the same architecture
     from ofb_tpu.models.vit import init_vit_params
     dparams = init_vit_params(jax.random.PRNGKey(2), cfg)
-    dtx, _ = build_search_optimizer(
-        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
-        total_steps=100000, steps_per_epoch=1000)
     import optax
-    dtx = optax.adamw(1e-4)
+    dtx = optax.adamw(1e-4)   # the dense baseline uses a plain AdamW
     dstep = make_train_step(cfg, dtx, num_classes=cfg.num_classes,
                             compute_dtype=compute, donate=False)
     dstate = TrainState(step=jnp.asarray(0, jnp.int32), params=dparams,

@@ -62,7 +62,11 @@ def get_args_parser():
     p.add_argument("--target_flops", default=1.0, type=float)
     p.add_argument("--compress-thresh", default=0.2, type=float)
     p.add_argument("--attn_search", action="store_true", default=True)
+    p.add_argument("--no-attn_search", action="store_false",
+                   dest="attn_search")
     p.add_argument("--mlp_search", action="store_true", default=True)
+    p.add_argument("--no-mlp_search", action="store_false",
+                   dest="mlp_search")
     p.add_argument("--embed_search", action="store_true", default=False)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])

@@ -252,7 +252,26 @@ def test_window_sum_cumsum_matches_reduce_window():
     reduce_window within fp32 cumsum tolerance at the PMIM window size."""
     x = jnp.asarray(np.random.RandomState(5).randn(2, 96, 96, 3)
                     .astype(np.float32))
-    for k in (3, 47):
+    for k in (3, 4, 46, 47):   # even k: SAME pad is (k-1)//2 before, k//2 after
         a = np.asarray(pmim._window_sum_reduce(x, k))
         b = np.asarray(pmim._window_sum_cumsum(x, k))
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_gate_fold_no_qkv_bias():
+    """Default-on gate folding must handle qkv_bias=False supernets
+    (the MIIL config family)."""
+    cfg = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
+                   depth=2, num_heads=2, mlp_ratio=2.0, qkv_bias=False)
+    space = SearchSpace.build(cfg.embed_dim, cfg.depth, cfg.num_heads,
+                              cfg.hidden, cfg.num_patches, patch_search=True)
+    key = jax.random.PRNGKey(7)
+    params = init_mim_params(key, cfg, space)
+    assert "bias" not in params["blocks"][0]["attn"]["qkv"]
+    alphas = init_alphas(key, space)
+    arch = ArchState.create(space)
+    x = jax.random.uniform(key, (2, 32, 32, 3))
+    out = mim_forward(params, alphas, arch, x, cfg, space, train=True,
+                      use_mim=True, keep_ratio=jnp.asarray(0.8), rng=key,
+                      compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out.logits)).all()

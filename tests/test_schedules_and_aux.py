@@ -187,8 +187,10 @@ def test_make_schedule_rejects_unknown():
     from ofb_tpu.core.optim import make_schedule
     with pytest.raises(ValueError):
         make_schedule(1e-3, ScheduleConfig(sched="nope"), 100, 10)
-    # plateau/constant are valid and constant in-graph
-    fn = make_schedule(1e-3, ScheduleConfig(sched="plateau"), 100, 10)
+    # plateau/constant are valid: warmup prefix, then constant in-graph
+    # (the plateau decay rides the lr_scale slot)
+    fn = make_schedule(1e-3, ScheduleConfig(sched="plateau",
+                                            warmup_epochs=0), 100, 10)
     assert float(fn(0)) == float(fn(99)) == pytest.approx(1e-3)
 
 
@@ -246,3 +248,36 @@ def test_checkpoint_orbax_async_joined(tmp_path, monkeypatch):
     assert r["meta"]["epoch"] == 3
     np.testing.assert_allclose(np.asarray(r["params"]["cls_token"]),
                                np.asarray(params["cls_token"]))
+
+
+def test_plateau_schedule_has_warmup():
+    """plateau/constant schedules must apply the warmup prefix like timm's
+    PlateauLRScheduler (reference lr_sched.py:106-121)."""
+    from ofb_tpu.core.optim import make_schedule
+    sc = ScheduleConfig(sched="plateau", warmup_lr=1e-6, min_lr=0.0,
+                        warmup_epochs=2)
+    fn = make_schedule(1e-3, sc, total_steps=100, steps_per_epoch=10)
+    assert float(fn(0)) == pytest.approx(1e-6)
+    assert float(fn(10)) == pytest.approx((1e-6 + 1e-3) / 2, rel=1e-2)
+    assert float(fn(20)) == pytest.approx(1e-3)
+    assert float(fn(99)) == pytest.approx(1e-3)
+
+
+def test_checkpoint_orbax_async_serialized_same_path(tmp_path, monkeypatch):
+    """Back-to-back async orbax saves to the same dir must serialize (the
+    second joins the first) and meta must land only after the parts."""
+    from ofb_tpu.core import checkpoint as ckpt
+    space, params, alphas, arch = tiny()
+    d = str(tmp_path / "orbax_running")
+    monkeypatch.setenv("OFB_CKPT_BACKEND", "orbax")
+    for epoch in range(3):
+        bumped = jax.tree_util.tree_map(lambda x: x + epoch, params)
+        ckpt.save_checkpoint(d, params=bumped, meta={"epoch": epoch},
+                             async_write=True)
+    monkeypatch.delenv("OFB_CKPT_BACKEND")
+    ckpt.wait_for_pending_saves()
+    p2 = init_mim_params(jax.random.PRNGKey(42), CFG, space)
+    r = ckpt.load_checkpoint(d, params=p2)
+    assert r["meta"]["epoch"] == 2
+    np.testing.assert_allclose(np.asarray(r["params"]["cls_token"]),
+                               np.asarray(params["cls_token"]) + 2)
