@@ -125,6 +125,32 @@ def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
     return out
 
 
+def _destatedict(node):
+    """Invert flax's to_state_dict list encoding: dicts whose keys are all
+    decimal strings become lists (ordered by index)."""
+    if isinstance(node, dict):
+        if node and all(isinstance(k, str) and k.isdigit() for k in node):
+            return [_destatedict(node[str(i)]) for i in range(len(node))]
+        return {k: _destatedict(v) for k, v in node.items()}
+    return node
+
+
+def load_checkpoint_raw(path: str) -> Dict[str, Any]:
+    """Restore parts WITHOUT templates (shapes come from the file). Needed
+    for exported models whose sliced shapes are not reconstructible from a
+    config alone (e.g. Swin subnets with per-block sliced widths)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    out: Dict[str, Any] = {"meta": meta}
+    for name in meta["parts"]:
+        fpath = os.path.join(path, name + ".msgpack")
+        if not os.path.exists(fpath):
+            continue
+        with open(fpath, "rb") as f:
+            out[name] = _destatedict(serialization.msgpack_restore(f.read()))
+    return out
+
+
 def latest_meta(path: str) -> Optional[Dict[str, Any]]:
     p = os.path.join(path, "meta.json")
     if not os.path.exists(p):

@@ -51,7 +51,25 @@ def main():
                       input_size=args.input_size, batch_size=args.batch_size)
     ds_val, nb_classes = build_dataset(False, dcfg, staging=256)
 
-    if meta.get("exported"):
+    if meta.get("family") == "swin" and meta.get("exported"):
+        # exported Swin subnet: sliced per-block widths live in the param
+        # shapes (swin_forward is shape-driven), so restore template-free
+        from ofb_tpu.core.steps import _cls_metrics
+        from ofb_tpu.models.swin import SwinCfg, swin_forward
+        scfg_d = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in meta["model_cfg"].items()}
+        swcfg = SwinCfg(**scfg_d)
+        raw = ckpt.load_checkpoint_raw(args.checkpoint)
+        params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+
+        @jax.jit
+        def step(p, images, labels):
+            logits = swin_forward(p, images, swcfg, train=False,
+                                  compute_dtype=compute)
+            return _cls_metrics(logits, labels)
+
+        state_args = (params,)
+    elif meta.get("exported"):
         cfg = ModelCfg(**{k: (tuple(map(tuple, v))
                               if k == "block_overrides" and v is not None
                               else (tuple(v) if isinstance(v, list) else v))

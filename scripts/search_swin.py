@@ -301,11 +301,13 @@ def main(args):
         exp_stats = evaluate(dense_eval, vfeed, dense)
         master_print(f"exported subnet acc1 {exp_stats['acc1']:.2f}% "
                      f"(supernet best {max_acc:.2f}%)")
+        import dataclasses
         ckpt.save_checkpoint(os.path.join(scfg.output_dir, "model_exported"),
                              params=dense,
                              meta={"exported": True, "family": "swin",
                                    "acc1": exp_stats["acc1"],
                                    "supernet_best_acc1": max_acc,
+                                   "model_cfg": dataclasses.asdict(dcfg_out),
                                    **meta})
         master_print("saved model_exported (sliced Swin subnet)")
 
@@ -378,7 +380,8 @@ def main(args):
                 os.path.join(scfg.output_dir, "model_finetuned"),
                 params=fstate.params,
                 meta={"exported": True, "family": "swin",
-                      "acc1": ft_best, **meta})
+                      "acc1": ft_best,
+                      "model_cfg": dataclasses.asdict(dcfg_out), **meta})
 
     ckpt.wait_for_pending_saves()
     master_print(f"Swin search time "
