@@ -37,7 +37,7 @@ def setup_state():
     return bundle, state, step
 
 
-@pytest.mark.parametrize("tp", [1, 2])
+@pytest.mark.parametrize("tp", [1, 2, 4])
 def test_sharded_step_matches_single_device(tp):
     assert len(jax.devices()) >= 8
     bundle, state, step = setup_state()
