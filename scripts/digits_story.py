@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--search-epochs", type=int, default=40)
     ap.add_argument("--ft-epochs", type=int, default=60)
     ap.add_argument("--target-flops", type=float, default=0.00015)
+    ap.add_argument("--w-flops", type=float, default=None,
+                    help="FLOPs-loss weight override (stronger pressure "
+                         "discovers smaller subnets, the OFB-DeiT-A..E "
+                         "compression-level analog)")
     ap.add_argument("--batch-size", type=int, default=128)
     args = ap.parse_args()
 
@@ -109,7 +113,8 @@ def main():
                      "--blr", "2e-3", "--blr_decoder", "2e-3"]
     sp = se.get_args_parser()
     search_out = os.path.join(args.out, "search")
-    sargs = sp.parse_args(common + search_recipe + [
+    extra = ["--w_flops", str(args.w_flops)] if args.w_flops else []
+    sargs = sp.parse_args(common + search_recipe + extra + [
         "--epochs", str(args.search_epochs), "--output_dir", search_out,
         "--target_flops", str(args.target_flops),
         "--fuse_point", str(args.search_epochs + 1),
