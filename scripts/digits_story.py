@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--dense-epochs", type=int, default=60)
     ap.add_argument("--search-epochs", type=int, default=40)
     ap.add_argument("--ft-epochs", type=int, default=60)
+    ap.add_argument("--model-dims", type=int, nargs=3, default=(32, 2, 2),
+                    metavar=("EMBED", "DEPTH", "HEADS"),
+                    help="tiny model geometry for both stages")
     ap.add_argument("--target-flops", type=float, default=0.00015)
     ap.add_argument("--w-flops", type=float, default=None,
                     help="FLOPs-loss weight override (stronger pressure "
@@ -74,8 +77,9 @@ def main():
     results = {}
 
     # ---- 1. dense baseline: finetune from a fresh dense init ------------
-    cfg = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
-                   depth=2, num_heads=2, mlp_ratio=2.0)
+    md, mdep, mh = args.model_dims
+    cfg = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=md,
+                   depth=mdep, num_heads=mh, mlp_ratio=2.0)
     dense_dir = os.path.join(args.out, "dense_init")
     import dataclasses
     ckpt.save_checkpoint(dense_dir,
@@ -114,6 +118,7 @@ def main():
     sp = se.get_args_parser()
     search_out = os.path.join(args.out, "search")
     extra = ["--w_flops", str(args.w_flops)] if args.w_flops else []
+    extra += ["--tiny-dims", str(md), str(mdep), str(mh)]
     sargs = sp.parse_args(common + search_recipe + extra + [
         "--epochs", str(args.search_epochs), "--output_dir", search_out,
         "--target_flops", str(args.target_flops),

@@ -35,7 +35,19 @@ def main():
     meta = ckpt.latest_meta(args.checkpoint)
     saved_args = (meta or {}).get("args", {})
     model_name = saved_args.get("model", args.model)
-    bundle = create_model(model_name, num_classes=args.num_classes)
+    if saved_args.get("tiny_test"):
+        from ofb_tpu.models.registry import ModelBundle
+        from ofb_tpu.models.search_space import SearchSpace
+        from ofb_tpu.models.vit import ModelCfg
+        td, tdep, th = saved_args.get("tiny_dims", (32, 2, 2))
+        cfg = ModelCfg(img_size=32, patch_size=8,
+                       num_classes=args.num_classes, embed_dim=td,
+                       depth=tdep, num_heads=th, mlp_ratio=2.0)
+        space = SearchSpace.build(td, tdep, th, cfg.hidden, cfg.num_patches,
+                                  patch_search=True)
+        bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)
+    else:
+        bundle = create_model(model_name, num_classes=args.num_classes)
     params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
     restored = ckpt.load_checkpoint(args.checkpoint, params=params,
                                     alphas=alphas, arch=arch)

@@ -129,9 +129,11 @@ def load_searched_model(finetune_dir: str, args, nb_classes: int):
     model_name = saved_args.get("model", args.model).replace("_finetune",
                                                              "_mim")
     if saved_args.get("tiny_test") or args.tiny_test:
+        td, tdep, th = saved_args.get("tiny_dims", (32, 2, 2))
         cfg = ModelCfg(img_size=32, patch_size=8, num_classes=nb_classes,
-                       embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0)
-        space = SearchSpace.build(32, 2, 2, cfg.hidden, cfg.num_patches,
+                       embed_dim=td, depth=tdep, num_heads=th,
+                       mlp_ratio=2.0)
+        space = SearchSpace.build(td, tdep, th, cfg.hidden, cfg.num_patches,
                                   patch_search=True)
         from ofb_tpu.models.registry import ModelBundle
         bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)

@@ -141,6 +141,10 @@ def get_args_parser():
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true",
                    help="tiny model/images for smoke tests")
+    p.add_argument("--tiny-dims", type=int, nargs=3, default=(32, 2, 2),
+                   metavar=("EMBED", "DEPTH", "HEADS"),
+                   help="tiny-test model geometry (richer grids expose "
+                        "more compression levels on small data)")
     # accepted-for-compatibility flags from the reference CLI (no-ops here:
     # bf16 replaces apex AMP; the mesh replaces torch.distributed)
     p.add_argument("--use-amp", action="store_true",
@@ -251,10 +255,11 @@ def main(args):
 
     # model
     if args.tiny_test:
+        td, tdep, th = args.tiny_dims
         cfg = ModelCfg(img_size=32, patch_size=8, num_classes=nb_classes,
-                       embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0,
-                       drop_path_rate=args.drop_path)
-        space = SearchSpace.build(32, 2, 2, cfg.hidden, cfg.num_patches,
+                       embed_dim=td, depth=tdep, num_heads=th,
+                       mlp_ratio=2.0, drop_path_rate=args.drop_path)
+        space = SearchSpace.build(td, tdep, th, cfg.hidden, cfg.num_patches,
                                   patch_search=args.patch_search)
         bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)
     else:
@@ -438,12 +443,16 @@ def main(args):
             master_print(f"Soft accuracy: {test_stats['acc1']:.2f}% "
                          f"(max {max(max_soft_acc, test_stats['acc1']):.2f}%)")
             if test_stats["acc1"] >= max_soft_acc and scfg.output_dir:
+                # args recorded like the reference pickles args into every
+                # checkpoint (search.py:721) — the finetune/export loaders
+                # rebuild the supernet template from them
                 ckpt.save_checkpoint(
                     os.path.join(scfg.output_dir, "best"),
                     params=state.params, alphas=state.alphas,
                     arch=state.arch, ema_params=state.ema_params,
                     meta={"epoch": epoch, "acc1": test_stats["acc1"],
-                          "finish_search": bool(finish_search)})
+                          "finish_search": bool(finish_search),
+                          "args": vars(args)})
             max_soft_acc = max(max_soft_acc, test_stats["acc1"])
             if plateau is not None:
                 scale = plateau.update(test_stats["acc1"])
