@@ -74,7 +74,9 @@ def main():
         if args.remat:
             import dataclasses
             bundle.cfg = dataclasses.replace(bundle.cfg, remat=True)
-        batch = args.batch or (256 if args.model != "deit_base" else 128)
+        # per-model optimum from the batch sweep (BENCH.md): DeiT-B peaks
+        # at 64 (823 img/s; 128 -> 801, 192 -> 641, 256 OOMs without remat)
+        batch = args.batch or (256 if args.model != "deit_base" else 64)
         compute = jnp.bfloat16
 
     key = jax.random.PRNGKey(0)
