@@ -320,3 +320,43 @@ def test_digits_dataset():
     assert 0 <= lbl <= 9
     tr2 = DigitsDataset(True, 40)
     np.testing.assert_array_equal(tr.labels, tr2.labels)
+
+
+def test_imnet_folder_pipeline_end_to_end(tmp_path):
+    """IMNET/IMNET100 build_dataset -> FolderDataset JPEG decode ->
+    make_epoch_loader staging batch, on a synthetic ImageFolder tree (the
+    production ImageNet path, runnable without the real dataset)."""
+    from PIL import Image
+    from ofb_tpu.config import DataConfig
+    from ofb_tpu.data.datasets import build_dataset
+    from ofb_tpu.data.pipeline import make_epoch_loader
+
+    rs = np.random.RandomState(0)
+    for split, n in (("train", 3), ("val", 2)):
+        for cls in ("n01", "n02"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rs.randint(0, 255, (40, 52, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpg")
+
+    dcfg = DataConfig(data_path=str(tmp_path), data_set="IMNET",
+                      batch_size=4)
+    ds, nb = build_dataset(True, dcfg, staging=32)
+    assert nb == 1000 and len(ds) == 6
+    img, lbl = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert lbl in (0, 1)
+    loader = make_epoch_loader(ds, epoch=0, rank=0, world=1, batch_size=4,
+                               repeated_aug=False, train=True, seed=0,
+                               num_workers=0)
+    imgs, lbls = next(iter(loader))
+    assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.uint8
+    assert set(np.asarray(lbls)) <= {0, 1}
+
+    # IMNET100: subset index built and cached
+    dcfg100 = DataConfig(data_path=str(tmp_path), data_set="IMNET100",
+                         batch_size=4)
+    ds100, nb100 = build_dataset(False, dcfg100, staging=32)
+    assert nb100 == 100 and len(ds100) == 4
+    assert (tmp_path / "imnet100_val.pkl").exists()
