@@ -360,3 +360,35 @@ def test_imnet_folder_pipeline_end_to_end(tmp_path):
     ds100, nb100 = build_dataset(False, dcfg100, staging=32)
     assert nb100 == 100 and len(ds100) == 4
     assert (tmp_path / "imnet100_val.pkl").exists()
+
+
+def test_inat_json_dataset(tmp_path):
+    """INAT json-annotation loader on a synthetic tree
+    (reference datasets.py:19-58 semantics)."""
+    import json as _json
+    from PIL import Image
+    from ofb_tpu.config import DataConfig
+    from ofb_tpu.data.datasets import build_dataset
+
+    rs = np.random.RandomState(1)
+    cats = [{"id": 0, "name": "zebra"}, {"id": 1, "name": "ant"}]
+    images, anns = [], []
+    (tmp_path / "imgs").mkdir()
+    for i in range(4):
+        fn = f"imgs/{i}.jpg"
+        Image.fromarray(rs.randint(0, 255, (24, 24, 3), np.uint8)).save(
+            tmp_path / fn)
+        images.append({"id": i, "file_name": fn})
+        anns.append({"image_id": i, "category_id": i % 2})
+    with open(tmp_path / "train2018.json", "w") as f:
+        _json.dump({"images": images, "annotations": anns}, f)
+    with open(tmp_path / "categories2018.json", "w") as f:
+        _json.dump(cats, f)
+
+    dcfg = DataConfig(data_path=str(tmp_path), data_set="INAT", batch_size=2)
+    ds, nb = build_dataset(True, dcfg, staging=32)
+    assert nb == 2 and len(ds) == 4
+    img, lbl = ds[1]
+    assert img.shape == (32, 32, 3)
+    # sorted names: ant=0, zebra=1; image 1 -> category_id 1 -> 'ant' -> 0
+    assert lbl == 0
