@@ -71,6 +71,10 @@ def get_args_parser():
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint (default "
+                        "<output_dir>/running_ckpt)")
+    p.add_argument("--checkpoint", default="", type=str)
     p.add_argument("--tiny-test", action="store_true")
     p.add_argument("--force-finish", action="store_true",
                    help="if the search has not converged by the last epoch, "
@@ -173,12 +177,27 @@ def main(args):
         accum_iter=scfg.accum_iter)
 
     mesh = make_mesh()
+    start_epoch = 0
+    opt_state = tx.init((params, alphas))
+    if args.resume:
+        rdir = args.checkpoint or os.path.join(scfg.output_dir,
+                                               "running_ckpt")
+        restored = ckpt.load_checkpoint(rdir, params=params, alphas=alphas,
+                                        arch=arch, opt_state=opt_state)
+        params = restored.get("params", params)
+        alphas = restored.get("alphas", alphas)
+        arch = restored.get("arch", arch)
+        opt_state = restored.get("opt_state", opt_state)
+        start_epoch = restored["meta"].get("epoch", -1) + 1
+        master_print(f"resumed from {rdir} at epoch {start_epoch}")
     params = replicate(mesh, params)
     alphas = replicate(mesh, alphas)
     arch = replicate(mesh, arch)
-    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
-                       alphas=alphas, arch=arch,
-                       opt_state=tx.init((params, alphas)))
+    opt_state = replicate(mesh, opt_state)
+    state = TrainState(
+        step=jnp.asarray(start_epoch * steps_per_epoch * scfg.accum_iter,
+                         jnp.int32),
+        params=params, alphas=alphas, arch=arch, opt_state=opt_state)
 
     sstep = make_swin_search_step(space, cfg, scfg, tx, phase="search",
                                   compute_dtype=compute, donate=False)
@@ -192,7 +211,7 @@ def main(args):
     max_acc = 0.0
     t0 = time.time()
 
-    for epoch in range(scfg.epochs):
+    for epoch in range(start_epoch, scfg.epochs):
         step_fn = pstep if finish_search else sstep
         wrapped = lambda s, i, l, r, k, _f=step_fn: _f(s, i, l, r)
         loader = make_epoch_loader(
