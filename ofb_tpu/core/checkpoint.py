@@ -125,6 +125,18 @@ def load_checkpoint(path: str, *, params=None, alphas=None, arch=None,
     return out
 
 
+def model_cfg_from_meta(cfg_dict: Dict[str, Any], cfg_cls):
+    """Rebuild a (frozen, tuple-field) model config dataclass from the
+    JSON round-trip of dataclasses.asdict: lists -> tuples, incl. the
+    nested per-block override tuples. Shared by every CLI that restores a
+    checkpointed config (eval/finetune/story/swin)."""
+    def conv(v):
+        if isinstance(v, list):
+            return tuple(conv(x) for x in v)
+        return v
+    return cfg_cls(**{k: conv(v) for k, v in cfg_dict.items()})
+
+
 def _destatedict(node):
     """Invert flax's to_state_dict list encoding: dicts whose keys are all
     decimal strings become lists (ordered by index)."""
@@ -142,6 +154,14 @@ def load_checkpoint_raw(path: str) -> Dict[str, Any]:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     out: Dict[str, Any] = {"meta": meta}
+    if meta.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        for name in meta["parts"]:
+            fpath = os.path.join(os.path.abspath(path), name + ".orbax")
+            if os.path.exists(fpath):
+                out[name] = ckptr.restore(fpath)
+        return out
     for name in meta["parts"]:
         fpath = os.path.join(path, name + ".msgpack")
         if not os.path.exists(fpath):

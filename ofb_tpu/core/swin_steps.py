@@ -141,3 +141,19 @@ def make_swin_eval_step(space: SearchSpace, cfg: SwinCfg, *,
         return _cls_metrics(logits, labels)
 
     return step
+
+
+def make_swin_eval_step_dense(cfg: SwinCfg, *, compute_dtype=jnp.bfloat16):
+    """Eval step for an EXPORTED (sliced, gate-free) Swin: plain
+    swin_forward with shape-driven widths. Shared by the search CLI's
+    post-export eval and scripts/eval.py."""
+    from ..models.swin import swin_forward
+    from .steps import _cls_metrics
+
+    @jax.jit
+    def step(params, images, labels):
+        logits = swin_forward(params, images, cfg, train=False,
+                              compute_dtype=compute_dtype)
+        return _cls_metrics(logits, labels)
+
+    return step

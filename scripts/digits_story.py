@@ -117,7 +117,8 @@ def main():
                      "--blr", "2e-3", "--blr_decoder", "2e-3"]
     sp = se.get_args_parser()
     search_out = os.path.join(args.out, "search")
-    extra = ["--w_flops", str(args.w_flops)] if args.w_flops else []
+    extra = ["--w_flops", str(args.w_flops)] \
+        if args.w_flops is not None else []
     extra += ["--tiny-dims", str(md), str(mdep), str(mh)]
     sargs = sp.parse_args(common + search_recipe + extra + [
         "--epochs", str(args.search_epochs), "--output_dir", search_out,
@@ -138,12 +139,9 @@ def main():
         "--warmup-epochs", "5"])
     ft.main(fargs)
     fmeta = ckpt.latest_meta(os.path.join(ft_out, "best"))
-    sub_cfg_d = ckpt.latest_meta(os.path.join(ft_out, "running_ckpt"))[
-        "model_cfg"]
-    sub_cfg = ModelCfg(**{k: (tuple(map(tuple, v))
-                              if k == "block_overrides" and v is not None
-                              else (tuple(v) if isinstance(v, list) else v))
-                          for k, v in sub_cfg_d.items()})
+    sub_cfg = ckpt.model_cfg_from_meta(
+        ckpt.latest_meta(os.path.join(ft_out, "running_ckpt"))["model_cfg"],
+        ModelCfg)
     results["subnet"] = {"acc1": fmeta["acc1"],
                          "gflops": dense_vit_gflops(sub_cfg),
                          "embed_dim": sub_cfg.embed_dim,

@@ -47,33 +47,32 @@ def main():
     if meta is None:
         raise SystemExit(f"no checkpoint at {args.checkpoint}")
 
+    # the restored model's img_size drives the eval input size (a stale
+    # --input-size flag would otherwise feed mismatched shapes)
+    input_size = args.input_size
+    if meta.get("exported"):
+        if "model_cfg" not in meta:
+            raise SystemExit(
+                f"{args.checkpoint} predates model_cfg metadata — "
+                "re-export it (scripts/export.py or the search CLI)")
+        input_size = meta["model_cfg"].get("img_size", input_size)
+
     dcfg = DataConfig(data_path=args.data_path, data_set=args.data_set,
-                      input_size=args.input_size, batch_size=args.batch_size)
+                      input_size=input_size, batch_size=args.batch_size)
     ds_val, nb_classes = build_dataset(False, dcfg, staging=256)
 
     if meta.get("family") == "swin" and meta.get("exported"):
         # exported Swin subnet: sliced per-block widths live in the param
         # shapes (swin_forward is shape-driven), so restore template-free
-        from ofb_tpu.core.steps import _cls_metrics
-        from ofb_tpu.models.swin import SwinCfg, swin_forward
-        scfg_d = {k: (tuple(v) if isinstance(v, list) else v)
-                  for k, v in meta["model_cfg"].items()}
-        swcfg = SwinCfg(**scfg_d)
+        from ofb_tpu.core.swin_steps import make_swin_eval_step_dense
+        from ofb_tpu.models.swin import SwinCfg
+        swcfg = ckpt.model_cfg_from_meta(meta["model_cfg"], SwinCfg)
         raw = ckpt.load_checkpoint_raw(args.checkpoint)
         params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
-
-        @jax.jit
-        def step(p, images, labels):
-            logits = swin_forward(p, images, swcfg, train=False,
-                                  compute_dtype=compute)
-            return _cls_metrics(logits, labels)
-
+        step = make_swin_eval_step_dense(swcfg, compute_dtype=compute)
         state_args = (params,)
     elif meta.get("exported"):
-        cfg = ModelCfg(**{k: (tuple(map(tuple, v))
-                              if k == "block_overrides" and v is not None
-                              else (tuple(v) if isinstance(v, list) else v))
-                          for k, v in meta["model_cfg"].items()})
+        cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
         tpl = init_vit_params(jax.random.PRNGKey(0), cfg)
         restored = ckpt.load_checkpoint(args.checkpoint, params=tpl,
                                         ema_params=tpl)
@@ -97,7 +96,7 @@ def main():
                                batch_size=args.batch_size,
                                repeated_aug=False, train=False)
     feed = device_feed(loader, rng=jax.random.PRNGKey(0), train=False,
-                       accum_iter=1, out_size=args.input_size)
+                       accum_iter=1, out_size=input_size)
     stats = evaluate(step, feed, *state_args)
     print(stats)
 

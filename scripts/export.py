@@ -23,7 +23,9 @@ def main():
                     help="searched supernet checkpoint dir")
     ap.add_argument("--out", required=True, help="output checkpoint dir")
     ap.add_argument("--model", default="deit_small_patch16_224_mim")
-    ap.add_argument("--num-classes", type=int, default=1000)
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="override; default inferred from the search "
+                         "run's recorded dataset (1000 if unknown)")
     ap.add_argument("--no-fuse", action="store_true")
     args = ap.parse_args()
 
@@ -35,19 +37,32 @@ def main():
     meta = ckpt.latest_meta(args.checkpoint)
     saved_args = (meta or {}).get("args", {})
     model_name = saved_args.get("model", args.model)
+    # derive the class count from the search run's dataset (the search CLI
+    # infers it the same way); an explicit --num-classes still overrides
+    _DS_CLASSES = {"DIGITS": 10, "CIFAR10": 10, "CIFAR100": 100,
+                   "IMNET100": 100, "IMNET": 1000}
+    ds_name = str(saved_args.get("data_set", "")).upper()
+    if args.num_classes is not None:
+        nb_classes = args.num_classes
+    elif ds_name in _DS_CLASSES:
+        nb_classes = _DS_CLASSES[ds_name]
+    elif ds_name == "SYNTHETIC":
+        nb_classes = saved_args.get("synthetic_num_classes", 1000)
+    else:
+        nb_classes = 1000
     if saved_args.get("tiny_test"):
         from ofb_tpu.models.registry import ModelBundle
         from ofb_tpu.models.search_space import SearchSpace
         from ofb_tpu.models.vit import ModelCfg
         td, tdep, th = saved_args.get("tiny_dims", (32, 2, 2))
         cfg = ModelCfg(img_size=32, patch_size=8,
-                       num_classes=args.num_classes, embed_dim=td,
+                       num_classes=nb_classes, embed_dim=td,
                        depth=tdep, num_heads=th, mlp_ratio=2.0)
         space = SearchSpace.build(td, tdep, th, cfg.hidden, cfg.num_patches,
                                   patch_search=True)
         bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)
     else:
-        bundle = create_model(model_name, num_classes=args.num_classes)
+        bundle = create_model(model_name, num_classes=nb_classes)
     params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
     restored = ckpt.load_checkpoint(args.checkpoint, params=params,
                                     alphas=alphas, arch=arch)

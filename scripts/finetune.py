@@ -114,10 +114,7 @@ def load_searched_model(finetune_dir: str, args, nb_classes: int):
         raise FileNotFoundError(f"no checkpoint at {finetune_dir}")
     if meta.get("exported"):
         # dense checkpoint: cfg from meta
-        cfg = ModelCfg(**{k: (tuple(map(tuple, v)) if k == "block_overrides"
-                              and v is not None else
-                              (tuple(v) if isinstance(v, list) else v))
-                          for k, v in meta["model_cfg"].items()})
+        cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
         key = jax.random.PRNGKey(0)
         from ofb_tpu.models.vit import init_vit_params
         tpl = init_vit_params(key, cfg)

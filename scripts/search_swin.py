@@ -190,6 +190,16 @@ def main(args):
         opt_state = restored.get("opt_state", opt_state)
         start_epoch = restored["meta"].get("epoch", -1) + 1
         master_print(f"resumed from {rdir} at epoch {start_epoch}")
+        # restore the best-so-far so the first post-resume eval cannot
+        # clobber 'best' with worse weights
+        bmeta = ckpt.latest_meta(os.path.join(scfg.output_dir, "best")) \
+            if scfg.output_dir else None
+        if bmeta and "acc1" in bmeta:
+            resumed_best = float(bmeta["acc1"])
+        else:
+            resumed_best = 0.0
+    else:
+        resumed_best = 0.0
     params = replicate(mesh, params)
     alphas = replicate(mesh, alphas)
     arch = replicate(mesh, arch)
@@ -208,7 +218,7 @@ def main(args):
     bsh = batch_sharding(mesh, leading_accum=True)
     rng = jax.random.PRNGKey(scfg.seed + 1234)
     finish_search = arch.all_finished
-    max_acc = 0.0
+    max_acc = resumed_best
     t0 = time.time()
 
     for epoch in range(start_epoch, scfg.epochs):
@@ -301,14 +311,9 @@ def main(args):
 
         # evaluate the sliced subnet (plain swin_forward, no gates) — the
         # gated==sliced invariant means this should match the supernet
-        from ofb_tpu.core.steps import _cls_metrics
-        from ofb_tpu.models.swin import swin_forward
-
-        @jax.jit
-        def dense_eval(params, images, labels):
-            logits = swin_forward(params, images, dcfg_out, train=False,
-                                  compute_dtype=compute)
-            return _cls_metrics(logits, labels)
+        from ofb_tpu.core.swin_steps import make_swin_eval_step_dense
+        dense_eval = make_swin_eval_step_dense(dcfg_out,
+                                               compute_dtype=compute)
 
         vloader = make_epoch_loader(ds_val, epoch=0, rank=rank, world=world,
                                     batch_size=args.batch_size,
