@@ -354,6 +354,8 @@ def main(args):
                         alphas=None, arch=None,
                         opt_state=ftx.init(dense_dev))
 
+            from ofb_tpu.models.swin import swin_forward
+
             @jax.jit
             def ft_step(st, images, labels, rng):
                 def loss_fn(p):
