@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--phase", default="search")
     ap.add_argument("--model", default="deit_small",
                     choices=["deit_small", "deit_base", "deit_tiny",
-                             "swin_tiny", "swin_small"])
+                             "swin_tiny", "swin_small", "swin_base"])
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint per block (memory for FLOPs)")
     ap.add_argument("--fused-augment", action="store_true",
