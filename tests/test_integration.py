@@ -121,3 +121,37 @@ def test_search_to_finetune_roundtrip(tmp_path):
 # 2-process jax.distributed test in tests/test_multiprocess.py — the
 # round-1 same-process determinism check here was a tautology and was
 # removed (VERDICT round 1, weak #2).
+
+
+def test_fused_augment_step_with_crop_knobs():
+    """fused_augment=True step consumes raw uint8 staging batches and
+    threads the small-data crop/hflip knobs into the in-jit transform."""
+    from ofb_tpu.models.registry import ModelBundle
+    from ofb_tpu.models.search_space import SearchSpace
+    from ofb_tpu.models.vit import ModelCfg
+    from ofb_tpu.core.optim import build_search_optimizer
+    from ofb_tpu.core.steps import TrainState, make_search_step
+
+    cfg = ModelCfg(img_size=32, patch_size=8, num_classes=8, embed_dim=32,
+                   depth=1, num_heads=2, mlp_ratio=2.0)
+    space = SearchSpace.build(cfg.embed_dim, cfg.depth, cfg.num_heads,
+                              cfg.hidden, cfg.num_patches, patch_search=True)
+    bundle = ModelBundle(name="tiny", cfg=cfg, kind="mim", space=space)
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    scfg = SearchConfig(accum_iter=1, target_flops=1.0).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=100, steps_per_epoch=10)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    step = make_search_step(space, cfg, scfg, tx, phase="search",
+                            compute_dtype=jnp.float32, donate=False,
+                            fused_augment=True, use_randaug=False,
+                            re_prob=0.0, crop_scale=(0.6, 1.0), hflip=False)
+    staged = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (1, 4, 40, 40, 3), np.uint8))
+    lbls = jnp.asarray(np.random.RandomState(1).randint(0, 8, (1, 4)))
+    state, m = step(state, staged, lbls, jax.random.PRNGKey(2),
+                    jnp.asarray(0.8))
+    assert np.isfinite(float(m["loss_total"]))
