@@ -144,6 +144,22 @@ def main():
     if not single:
         barrier_sync("worker_fence")
 
+    # multi-host orbax checkpoint: EVERY process participates in the save
+    # (the backend's whole point — SURVEY §2.3's save_on_master analog for
+    # sharded state); restore and digest to prove identical bytes per host
+    ckpt_digest = None
+    if not single and len(sys.argv) > 3:
+        from ofb_tpu.core import checkpoint as ck
+        ckdir = sys.argv[3]
+        ck.save_checkpoint_orbax(ckdir, params=state.params,
+                                 meta={"epoch": 1})
+        barrier_sync("ckpt_committed")   # meta.json is process-0-only
+        restored = ck.load_checkpoint_orbax(ckdir, params=state.params)
+        pdig = hashlib.sha256()
+        for leaf in jax.tree_util.tree_leaves(restored["params"]):
+            pdig.update(np.asarray(leaf.addressable_data(0)).tobytes())
+        ckpt_digest = pdig.hexdigest()
+
     # rank-sharded eval: every host must report FULL-set stats
     ev = make_eval_step(bundle.space, bundle.cfg, compute_dtype=jnp.float32)
     stats = evaluate(ev, sharded_feed(rank, world),
@@ -151,6 +167,7 @@ def main():
                      print_fn=lambda *a, **k: None)
 
     print(json.dumps({"digest": digest.hexdigest(),
+                      "ckpt_digest": ckpt_digest,
                       "acc1": stats["acc1"], "acc5": stats["acc5"],
                       "loss": stats["loss"]}), flush=True)
 

@@ -50,10 +50,11 @@ def _last_json(out):
     raise AssertionError(f"no JSON line in: {out[-1500:]}")
 
 
-def test_two_process_consensus_and_full_set_eval():
+def test_two_process_consensus_and_full_set_eval(tmp_path):
     port = _free_port()
-    p0 = _run([0, port])
-    p1 = _run([1, port])
+    ckdir = str(tmp_path / "mh_orbax")
+    p0 = _run([0, port, ckdir])
+    p1 = _run([1, port, ckdir])
     out0, err0 = p0.communicate(timeout=600)
     out1, err1 = p1.communicate(timeout=600)
     assert p0.returncode == 0, err0[-2000:]
@@ -62,6 +63,11 @@ def test_two_process_consensus_and_full_set_eval():
 
     # identical prune decisions on every host, no collective needed
     assert r0["digest"] == r1["digest"]
+    # multi-host orbax checkpoint: both processes participated, both
+    # restored identical bytes, meta written by process 0 only
+    assert r0["ckpt_digest"] is not None
+    assert r0["ckpt_digest"] == r1["ckpt_digest"]
+    assert os.path.exists(os.path.join(ckdir, "meta.json"))
     # every host reports the same full-set eval stats
     assert r0["acc1"] == r1["acc1"] and r0["acc5"] == r1["acc5"]
     np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-6)
