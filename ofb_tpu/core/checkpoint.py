@@ -216,6 +216,16 @@ def save_checkpoint_orbax(path: str, *, params, alphas=None, arch=None,
     if prev is not None:
         prev.join()
 
+    # Invalidate the old meta BEFORE force=True deletes committed part
+    # dirs: a crash mid-save then reads as "no checkpoint here" (loud at
+    # resume time) instead of a stale meta pointing at missing/partial
+    # parts. Paired with load_checkpoint_orbax raising on listed-but-
+    # missing parts, the contract is: readable meta => readable parts.
+    if is_main_process():
+        old_meta = os.path.join(path, "meta.json")
+        if os.path.exists(old_meta):
+            os.remove(old_meta)
+
     ckptr = ocp.StandardCheckpointer()     # AsyncCheckpointer under the hood
     for name, tree in parts.items():
         ckptr.save(os.path.join(path, name + ".orbax"), tree, force=True)
@@ -257,8 +267,17 @@ def load_checkpoint_orbax(path: str, *, params=None, alphas=None, arch=None,
     ckptr = ocp.StandardCheckpointer()
     for name in meta["parts"]:
         tpl = templates.get(name)
-        fpath = os.path.join(path, name + ".orbax")
-        if tpl is None or not os.path.exists(fpath):
+        if tpl is None:
             continue
+        fpath = os.path.join(path, name + ".orbax")
+        if not os.path.exists(fpath):
+            # meta promises this part (meta is written LAST, after
+            # wait_until_finished) — a listed-but-absent part means a
+            # crashed/overwritten save; silently restoring fresh-init
+            # state would corrupt a resume.
+            raise FileNotFoundError(
+                f"checkpoint part {name!r} listed in {path}/meta.json but "
+                f"{fpath} is missing — half-written orbax checkpoint "
+                f"(crash during overwrite save?); refuse to resume from it")
         out[name] = ckptr.restore(fpath, tpl)
     return out

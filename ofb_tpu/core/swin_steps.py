@@ -129,6 +129,53 @@ def make_swin_search_step(space: SearchSpace, cfg: SwinCfg,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_swin_train_step_dense(cfg: SwinCfg, tx: optax.GradientTransformation,
+                               *, smoothing: float = 0.1,
+                               compute_dtype=jnp.bfloat16,
+                               donate: bool = False):
+    """Plain supervised train step on a dense (gate-free) Swin.
+
+    The A/B comparator for the search step — same batch, same shapes, no
+    bi-mask/arch-loss machinery — so Swin search overhead can be reported
+    like the DeiT +11.2% number (perf_breakdown.py dense_step analog).
+    Takes (A, B, H, W, C) stacked micro-batches like every step here.
+    """
+    from ..models.swin import swin_forward
+
+    def loss_fn(params, images, labels, rng):
+        logits = swin_forward(params, images, cfg, train=True, rng=rng,
+                              compute_dtype=compute_dtype)
+        loss = L.base_criterion(logits, labels, soft_labels=False,
+                                smoothing=smoothing)
+        return loss, {"loss": loss}
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def step(state: TrainState, images, labels, rng):
+        A = images.shape[0]
+
+        def micro(carry, xs):
+            g_acc, l_acc = carry
+            img, lbl, r = xs
+            g, m = grad_fn(state.params, img, lbl, r)
+            return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                    l_acc + m["loss"]), None
+
+        rngs = jax.random.split(rng, A)
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro, (zero_g, jnp.asarray(0.0)), (images, labels, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + A, params=new_params,
+                                  opt_state=new_opt)
+        return new_state, {"loss": loss_sum / A}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_swin_eval_step(space: SearchSpace, cfg: SwinCfg, *,
                         compute_dtype=jnp.bfloat16, fused: bool = False):
     from .steps import _cls_metrics

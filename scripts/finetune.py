@@ -331,9 +331,13 @@ def main(args):
                 # the recorded acc1 (raw kept alongside as 'ema' slot swap)
                 win_params = state.ema_params if win_kind == "ema" \
                     else state.params
+                # the loser goes in the 'ema' slot so BOTH weight sets
+                # survive in the checkpoint (raw kept when EMA wins)
+                other_params = state.params if win_kind == "ema" \
+                    else state.ema_params
                 ckpt.save_checkpoint(
                     os.path.join(args.output_dir, "best"),
-                    params=win_params, ema_params=state.ema_params,
+                    params=win_params, ema_params=other_params,
                     meta={"epoch": epoch, "acc1": win_acc,
                           "eval_winner": win_kind,
                           "exported": True, "model_cfg": _cfg_meta(cfg)})

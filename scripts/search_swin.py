@@ -343,10 +343,15 @@ def main(args):
             from ofb_tpu.core.steps import TrainState as TS
             ft_epochs = args.export_finetune_epochs
             ft_lr = (args.blr or 2.5e-4) * args.batch_size * world / 256
+            # the finetune feed runs accum_iter=1 with a per-batch step,
+            # so it takes accum_iter x more optimizer steps per epoch
+            # than steps_per_epoch (which counts macro-batches) — scale
+            # the horizon or the cosine hits min_lr accum_iter x early
+            ft_steps_per_epoch = steps_per_epoch * scfg.accum_iter
             sch = cosine_schedule(
                 ft_lr, ScheduleConfig(warmup_lr=1e-6, min_lr=1e-6,
                                       warmup_epochs=min(5, ft_epochs // 4)),
-                ft_epochs * steps_per_epoch, steps_per_epoch)
+                ft_epochs * ft_steps_per_epoch, ft_steps_per_epoch)
             ftx = optax.adamw(sch, weight_decay=0.05)
             dense_dev = replicate(mesh, jax.tree_util.tree_map(jnp.asarray,
                                                                dense))
@@ -372,6 +377,7 @@ def main(args):
                                   opt_state=no), {"loss": loss}
 
             ft_best = 0.0
+            ft_best_params = fstate.params
             frng = jax.random.PRNGKey(scfg.seed + 777)
             for fe in range(ft_epochs):
                 floader = make_epoch_loader(
@@ -398,13 +404,17 @@ def main(args):
                                         out_size=out_size,
                                         batch_sharding=None)
                     fstats = evaluate(dense_eval, vfeed, fstate.params)
-                    ft_best = max(ft_best, fstats["acc1"])
+                    if fstats["acc1"] >= ft_best:
+                        # snapshot the weights that achieved the recorded
+                        # acc1 — the saved checkpoint must not overstate
+                        ft_best = fstats["acc1"]
+                        ft_best_params = fstate.params
             master_print(f"finetuned subnet acc1 {ft_best:.2f}% "
                          f"(exported {exp_stats['acc1']:.2f}%, supernet "
                          f"best {max_acc:.2f}%)")
             ckpt.save_checkpoint(
                 os.path.join(scfg.output_dir, "model_finetuned"),
-                params=fstate.params,
+                params=ft_best_params,
                 meta={"exported": True, "family": "swin",
                       "acc1": ft_best,
                       "model_cfg": dataclasses.asdict(dcfg_out), **meta})

@@ -248,8 +248,10 @@ def test_dense_flops_respects_block_overrides():
 
 
 def test_window_sum_cumsum_matches_reduce_window():
-    """The integral-image box filter (default) must match the separable
-    reduce_window within fp32 cumsum tolerance at the PMIM window size."""
+    """The opt-in integral-image box filter (OFB_BOX_CUMSUM=1; measured
+    slower, so the separable reduce_window stays default) must match the
+    reduce_window path within fp32 cumsum tolerance at the PMIM window
+    size."""
     x = jnp.asarray(np.random.RandomState(5).randn(2, 96, 96, 3)
                     .astype(np.float32))
     for k in (3, 4, 46, 47):   # even k: SAME pad is (k-1)//2 before, k//2 after
