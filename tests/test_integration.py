@@ -155,3 +155,52 @@ def test_fused_augment_step_with_crop_knobs():
     state, m = step(state, staged, lbls, jax.random.PRNGKey(2),
                     jnp.asarray(0.8))
     assert np.isfinite(float(m["loss_total"]))
+
+
+def test_nan_halts_within_log_window(tmp_path):
+    """A NaN loss must abort the epoch within one log window (SystemExit,
+    reference engine.py:148-150) and must NOT touch the last checkpoint
+    (epoch-cadence saves happen after the epoch; an abort mid-epoch leaves
+    the previous artifact byte-identical)."""
+    bundle = make_bundle()
+    space, cfg = bundle.space, bundle.cfg
+    scfg = SearchConfig(accum_iter=1, target_flops=0.0002, epochs=1,
+                        compress_per_epoch=1).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=100, steps_per_epoch=10)
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    step = make_search_step(space, cfg, scfg, tx, phase="search",
+                            compute_dtype=jnp.float32, donate=False)
+
+    # pre-existing checkpoint from "the previous epoch"
+    cdir = str(tmp_path / "running_ckpt")
+    ckpt.save_checkpoint(cdir, params=state.params, meta={"epoch": 0})
+    before = {}
+    for fn in sorted(os.listdir(cdir)):
+        with open(os.path.join(cdir, fn), "rb") as f:
+            before[fn] = f.read()
+
+    rs = np.random.RandomState(0)
+    good = jnp.asarray(rs.rand(1, 8, 32, 32, 3), jnp.float32)
+    poison = good.at[0, 0, 0, 0, 0].set(jnp.nan)
+    lbls = jnp.asarray(rs.randint(0, 10, (1, 8)))
+    n_batches = 6
+    feed = ((poison if i == 1 else good, lbls) for i in range(n_batches))
+
+    with pytest.raises(SystemExit) as ei:
+        search_one_epoch(
+            state, step, feed, epoch=0, steps_per_epoch=n_batches,
+            scfg=scfg, space=space, rng=jax.random.PRNGKey(2),
+            finish_search=True, log_every=10,
+            print_fn=lambda *a, **k: None)
+    assert ei.value.code == 1
+
+    after = sorted(os.listdir(cdir))
+    assert after == sorted(before)
+    for fn in after:
+        with open(os.path.join(cdir, fn), "rb") as f:
+            assert f.read() == before[fn], f"{fn} modified by aborted epoch"

@@ -236,3 +236,211 @@ def test_regnety_160_shapes():
     x = jnp.zeros((1, 64, 64, 3))                   # small spatial is fine
     out = regnet_forward(params, x, cfg, compute_dtype=jnp.float32)
     assert out.shape == (1, 7)
+
+
+# ---------------------------------------------------------------------------
+# Search-mode gate-math parity against the ACTUAL reference implementation
+# (/root/reference/models/layers.py imported as-is, with a minimal timm
+# stub since timm is not installed). Drives the reference's MAEPatchEmbed /
+# MAESparseMlp / MAESparseAttention and our bimask_gate_1d / bimask_gate_attn
+# with identical alpha/score/switch/w_p states and asserts matching outputs
+# (reference models/layers.py:173-200, 488-537, 843-865).
+# ---------------------------------------------------------------------------
+
+def _ref_layers():
+    """Import the reference layers module standalone (timm stubbed)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        tm = types.ModuleType("timm.models")
+        tl = types.ModuleType("timm.models.layers")
+        th = types.ModuleType("timm.models.layers.helpers")
+        th.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        tl.trunc_normal_ = torch.nn.init.trunc_normal_
+        tl.helpers = th
+        tm.layers = tl
+        timm.models = tm
+        sys.modules.update({"timm": timm, "timm.models": tm,
+                            "timm.models.layers": tl,
+                            "timm.models.layers.helpers": th})
+    spec = importlib.util.spec_from_file_location(
+        "ref_layers", "/root/reference/models/layers.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+W_P = 0.7
+
+
+def test_patch_embed_gate_parity_vs_reference():
+    """Search-mode patch-embed forward: weighted-mask softmax + double-
+    argsort rank restore + w_p entanglement, incl. inactive switch cells.
+    The reference output is permuted (reserved-then-dropped concat,
+    layers.py:192-195); we compare through that documented permutation."""
+    from ofb_tpu.ops.gates import bimask_gate_1d
+
+    ref = _ref_layers()
+    torch.manual_seed(3)
+    D = 32
+    pm = ref.PatchEmbed(32, 8, 3, D, None)
+    m = ref.MAEPatchEmbed(pm, embed_search=True)
+    m.eval()
+    K = m.alpha.shape[1]
+    # controlled states: some inactive cells (but keep the full-size cell
+    # active so no channel is hard-dead, matching the pre-slice invariant)
+    alpha = torch.randn(1, K)
+    switch = torch.ones(1, K, dtype=torch.bool)
+    switch[0, 1] = False
+    switch[0, K // 2] = False
+    score = torch.randn(1, D) * 0.5
+    m.alpha.data = alpha.clone()
+    m.switch_cell = switch.clone()
+    m.score.data = score.clone()
+    m.w_p = W_P
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref_out = m(x).numpy()                       # (B, N, D) permuted
+        toks = m.proj(x).flatten(2).transpose(1, 2).numpy()
+        ref_restore = m.get_weight()[0].numpy()[0]   # (D,) channel order
+
+    gate, restore = bimask_gate_1d(
+        jnp.asarray(score.numpy()[0]), jnp.asarray(alpha.numpy()[0]),
+        jnp.asarray(switch.numpy()[0]), jnp.asarray(np.asarray(m.mask)),
+        jnp.ones(D), jnp.asarray(W_P), jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(restore), ref_restore, atol=1e-6)
+
+    ours = toks * np.asarray(gate)[None, None, :]
+    # reference concat order: [channels with restore>0 (original order),
+    # channels with restore<=0 (zeroed)]
+    pos = np.where(ref_restore > 0)[0]
+    nonpos = np.where(ref_restore <= 0)[0]
+    perm = np.concatenate([pos, nonpos])
+    np.testing.assert_allclose(ours[..., perm], ref_out, atol=1e-5)
+
+
+def test_mlp_gate_parity_vs_reference():
+    """Search-mode MLP forward (gate applied in place, no permutation):
+    full output parity fc1 -> gate -> GELU -> fc2."""
+    from ofb_tpu.ops.gates import bimask_gate_1d
+
+    ref = _ref_layers()
+    torch.manual_seed(4)
+    D, HID = 32, 64
+    base = ref.Mlp(D, HID, D)
+    m = ref.MAESparseMlp(base, mlp_search=True)
+    m.eval()
+    K = m.alpha.shape[1]
+    alpha = torch.randn(1, K)
+    switch = torch.ones(1, K, dtype=torch.bool)
+    switch[0, 2] = False
+    score = torch.randn(1, HID) * 0.5
+    m.alpha.data = alpha.clone()
+    m.switch_cell = switch.clone()
+    m.score.data = score.clone()
+    m.w_p = W_P
+
+    x = torch.randn(2, 17, D)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+        w1 = m.fc1.weight.numpy()
+        b1 = m.fc1.bias.numpy()
+        w2 = m.fc2.weight.numpy()
+        b2 = m.fc2.bias.numpy()
+
+    gate, _ = bimask_gate_1d(
+        jnp.asarray(score.numpy()[0]), jnp.asarray(alpha.numpy()[0]),
+        jnp.asarray(switch.numpy()[0]), jnp.asarray(np.asarray(m.mask)),
+        jnp.ones(HID), jnp.asarray(W_P), jnp.asarray(False))
+    h = jnp.asarray(x.numpy()) @ w1.T + b1
+    h = h * gate[None, None, :]
+    h = jax.nn.gelu(h, approximate=False)
+    ours = np.asarray(h @ w2.T + b2)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_attn_gate_parity_vs_reference():
+    """Search-mode attention forward: joint head x channel weighted mask,
+    per-head channel rank restore + head rank restore by saliency mass,
+    w_p-entangled q/k/v gates (layers.py:488-521). Full output parity."""
+    from ofb_tpu.ops.gates import bimask_gate_attn
+
+    ref = _ref_layers()
+    torch.manual_seed(5)
+    D, H = 32, 4
+    d = D // H
+    base = ref.Attention(D, num_heads=H, qkv_bias=True)
+    m = ref.MAESparseAttention(base, head_search=False, channel_search=False,
+                               attn_search=True)
+    m.eval()
+    Kh, Kc = m.alpha.shape
+    alpha = torch.randn(Kh, Kc)
+    switch = torch.ones(Kh, Kc, dtype=torch.bool)
+    switch[0, 1] = False
+    switch[1, 3] = False
+    score = torch.randn(H, d) * 0.5
+    m.alpha.data = alpha.clone()
+    m.switch_cell = switch.clone()
+    m.score.data = score.clone()
+    m.w_p = W_P
+
+    x = torch.randn(2, 17, D)
+    with torch.no_grad():
+        ref_out = m(x).numpy()
+        wqkv = m.qkv.weight.numpy()
+        bqkv = m.qkv.bias.numpy()
+        wproj = m.proj.weight.numpy()
+        bproj = m.proj.bias.numpy()
+
+    gate, _ = bimask_gate_attn(
+        jnp.asarray(score.numpy()), jnp.asarray(alpha.numpy()),
+        jnp.asarray(switch.numpy()), jnp.asarray(np.asarray(m.mask)),
+        jnp.ones((H, d)), jnp.asarray(W_P), jnp.asarray(False))
+
+    B, N = 2, 17
+    qkv = jnp.asarray(x.numpy()) @ wqkv.T + bqkv          # (B, N, 3D)
+    qkv = qkv.reshape(B, N, 3, H, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, N, d)
+    g = np.asarray(gate)[None, :, None, :]
+    q, k, v = q * g, k * g, v * g
+    attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * m.scale, axis=-1)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+    ours = np.asarray(out @ wproj.T + bproj)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_masked_ln_parity_vs_reference_split_cat():
+    """Our in-place masked-moment LN vs the reference's split-normalize-
+    concat with sliced affine params (vision_transformer.py:193-200 after a
+    physical slice): identical values up to the documented permutation."""
+    from ofb_tpu.ops.gates import masked_layer_norm
+
+    torch.manual_seed(6)
+    D = 32
+    alive = np.ones(D, np.float32)
+    dead = np.array([3, 7, 20, 31])
+    alive[dead] = 0.0
+    n_res = int(alive.sum())
+    w = torch.randn(D).abs() + 0.5
+    b = torch.randn(D) * 0.1
+    x = torch.randn(2, 9, D)
+
+    pos = np.where(alive > 0)[0]
+    nonpos = np.where(alive <= 0)[0]
+    with torch.no_grad():
+        x_res = x[..., torch.tensor(pos)]
+        x_drop = x[..., torch.tensor(nonpos)]
+        ref_ln = torch.nn.functional.layer_norm(
+            x_res, (n_res,), w[torch.tensor(pos)], b[torch.tensor(pos)],
+            1e-6)
+        ref_out = torch.cat([ref_ln, x_drop], dim=-1).numpy()
+
+    ours = np.asarray(masked_layer_norm(
+        jnp.asarray(x.numpy()), jnp.asarray(alive), jnp.asarray(w.numpy()),
+        jnp.asarray(b.numpy()), passthrough="identity"))
+    perm = np.concatenate([pos, nonpos])
+    np.testing.assert_allclose(ours[..., perm], ref_out, atol=1e-5)
