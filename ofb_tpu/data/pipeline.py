@@ -140,8 +140,21 @@ def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
             x = x[: mb * accum_iter].reshape(accum_iter, mb, *x.shape[1:])
             y = jnp.asarray(lbls[: mb * accum_iter]).reshape(accum_iter, mb)
             if batch_sharding is not None:
-                x = jax.device_put(x, batch_sharding)
-                y = jax.device_put(y, batch_sharding)
+                if len(batch_sharding.device_set) > \
+                        len(batch_sharding.addressable_devices):
+                    # multi-process mesh: this process's loader yields its
+                    # RANK SHARD of the global batch (rank-sharded indices)
+                    # — assemble the global array from per-process shards.
+                    # device_put would instead assert all processes hold
+                    # the same (global) value.
+                    import numpy as _np
+                    x = jax.make_array_from_process_local_data(
+                        batch_sharding, _np.asarray(x))
+                    y = jax.make_array_from_process_local_data(
+                        batch_sharding, _np.asarray(y))
+                else:
+                    x = jax.device_put(x, batch_sharding)
+                    y = jax.device_put(y, batch_sharding)
             yield x, y
 
     it = produce()
