@@ -27,6 +27,13 @@ from .vit import Params, dropout, drop_path, linear, trunc_normal
 NEG_INF = -1e9
 
 
+def _swin_pack() -> int:
+    """Window-pack factor for _window_attention (OFB_SWIN_PACK, default 1).
+    Read at trace time so tests/benches can flip it per-jit."""
+    import os
+    return int(os.environ.get("OFB_SWIN_PACK", "1"))
+
+
 @dataclass(frozen=True)
 class SwinCfg:
     img_size: int = 224
@@ -170,33 +177,76 @@ def init_swin_params(key, cfg: SwinCfg) -> Params:
 # forward
 # ---------------------------------------------------------------------------
 
+def _block_diag_pack(m: jnp.ndarray, g: int, fill: float) -> jnp.ndarray:
+    """(..., K, N, N) groups of K consecutive blocks -> (..., K/g, g*N, g*N)
+    block-diagonal, off-diagonal blocks = fill. Static construction."""
+    *lead, K, N, _ = m.shape
+    grouped = m.reshape(*lead, K // g, g, N, N)
+    out = jnp.full((*lead, K // g, g * N, g * N), fill, m.dtype)
+    for i in range(g):
+        out = out.at[..., i * N:(i + 1) * N, i * N:(i + 1) * N].set(
+            grouped[..., i, :, :])
+    return out
+
+
 def _window_attention(p: Params, x: jnp.ndarray, heads: int, w: int,
                       rel_idx: jnp.ndarray,
-                      mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+                      mask: Optional[jnp.ndarray],
+                      pack: int = 1) -> jnp.ndarray:
     """x: (B*nW, w*w, C). Softmax in fp32 with relative position bias and
-    the optional shifted-window mask."""
+    the optional shifted-window mask.
+
+    pack=G fuses G consecutive windows into one attention of N'=G*w*w with
+    a block-diagonal mask (off-blocks -1e9): identical math, but the tiny
+    N=49 matmuls fill the 128-wide MXU tiles better (A/B in BENCH.md;
+    opt-in via OFB_SWIN_PACK)."""
     Bw, N, _ = x.shape
+    packed = (pack > 1 and Bw % pack == 0
+              and (mask is None or mask.shape[0] % pack == 0))
+    if packed:
+        x = x.reshape(Bw // pack, pack * N, x.shape[-1])
     qkv = linear(p["qkv"], x)
     # widths are shape-driven: an embed-sliced export keeps the dense qkv
     # inner width while the residual C shrinks, so derive hd from the qkv
     # output, not from C
     Cq = qkv.shape[-1] // 3
     hd = Cq // heads
-    qkv = qkv.reshape(Bw, N, 3, heads, hd)
+    Bp, Np = x.shape[0], x.shape[1]
+    qkv = qkv.reshape(Bp, Np, 3, heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
     attn = attn * (hd ** -0.5)
     bias = jnp.take(p["rel_bias"].astype(jnp.float32), rel_idx.reshape(-1),
                     axis=0).reshape(N, N, heads).transpose(2, 0, 1)
-    attn = attn + bias[None]
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(Bw // nW, nW, heads, N, N) + \
-            mask[None, :, None]
-        attn = attn.reshape(Bw, heads, N, N)
+    if packed:
+        # bias on diagonal blocks; off-blocks killed so packed windows
+        # cannot attend each other
+        bias = _block_diag_pack(jnp.broadcast_to(bias[:, None],
+                                                 (heads, pack, N, N)),
+                                pack, 0.0)[:, 0]        # (heads, pN, pN)
+        attn = attn + bias[None]
+        attn = attn + jnp.asarray(
+            np.kron(1.0 - np.eye(pack, dtype=np.float32),
+                    np.ones((N, N), np.float32)) * NEG_INF)[None, None]
+        if mask is not None:
+            nW = mask.shape[0]
+            mp = _block_diag_pack(mask, pack, 0.0)      # (nW/pack, pN, pN)
+            attn = attn.reshape(Bp // (nW // pack), nW // pack, heads,
+                                Np, Np) + mp[None, :, None]
+            attn = attn.reshape(Bp, heads, Np, Np)
+    else:
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, heads, N, N) + \
+                mask[None, :, None]
+            attn = attn.reshape(Bw, heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, Cq)
-    return linear(p["proj"], y)
+    y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bp, Np, Cq)
+    y = linear(p["proj"], y)
+    if packed:
+        y = y.reshape(Bw, N, y.shape[-1])
+    return y
 
 
 def swin_forward(params: Params, x: jnp.ndarray, cfg: SwinCfg, *,
@@ -235,7 +285,8 @@ def swin_forward(params: Params, x: jnp.ndarray, cfg: SwinCfg, *,
                 sc = jnp.roll(sc, (-shift, -shift), axis=(1, 2))
             win = window_partition(sc, w)
             att = _window_attention(bp["attn"], win, heads, w, rel_idx,
-                                    shift_mask if shift else None)
+                                    shift_mask if shift else None,
+                                    pack=_swin_pack())
             att = window_reverse(att, w, H_, W_)
             if shift:
                 att = jnp.roll(att, (shift, shift), axis=(1, 2))

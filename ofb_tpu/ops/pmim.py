@@ -27,6 +27,12 @@ import jax.numpy as jnp
 # gathers add passes, while the sliding-window reduce is a single tuned
 # pass. Kept correct + tested for backends where prefix sums win.
 _BOX_CUMSUM = os.environ.get("OFB_BOX_CUMSUM", "0") == "1"
+# Banded-matmul window sum (OFB_BOX_MATMUL): the separable k-wide window
+# sum along an axis is a matmul with a constant banded 0/1 matrix — it
+# rides the MXU at matmul rate instead of the VPU's O(k) adds/pixel.
+# ~8.6 GMACs/axis for 256x224x224x3 vs ~14M VPU adds: more FLOPs, far
+# faster silicon if the step is VPU/bandwidth-bound there (A/B: BENCH.md).
+_BOX_MATMUL = os.environ.get("OFB_BOX_MATMUL", "0") == "1"
 
 
 def _window_sum_reduce(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -63,9 +69,29 @@ def _window_sum_cumsum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return along(along(x, 1), 2)
 
 
+def _band_matrix(n: int, k: int) -> np.ndarray:
+    """(n, n) 0/1 matrix with B[i, j] = 1 iff j falls in the SAME-padded
+    k-window centred at i ((k-1)//2 before, k//2 after)."""
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    return ((j >= i - (k - 1) // 2) & (j <= i + k // 2)).astype(np.float32)
+
+
+def _window_sum_matmul(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Separable window sum as two banded matmuls (MXU path). NHWC."""
+    H, W = x.shape[1], x.shape[2]
+    bh = jnp.asarray(_band_matrix(H, k))
+    bw = bh if W == H else jnp.asarray(_band_matrix(W, k))
+    x = jnp.einsum("gh,bhwc->bgwc", bh, x)
+    return jnp.einsum("gw,bhwc->bhgc", bw, x)
+
+
 def _window_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    return _window_sum_cumsum(x, k) if _BOX_CUMSUM \
-        else _window_sum_reduce(x, k)
+    if _BOX_CUMSUM:
+        return _window_sum_cumsum(x, k)
+    if _BOX_MATMUL:
+        return _window_sum_matmul(x, k)
+    return _window_sum_reduce(x, k)
 
 
 def norm_targets(targets: jnp.ndarray, patch_size: int = 47) -> jnp.ndarray:

@@ -277,3 +277,15 @@ def test_gate_fold_no_qkv_bias():
                       use_mim=True, keep_ratio=jnp.asarray(0.8), rng=key,
                       compute_dtype=jnp.float32)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_window_sum_matmul_matches_reduce_window():
+    """The banded-matmul (MXU) box filter must match the separable
+    reduce_window path exactly for odd and even k."""
+    from ofb_tpu.ops import pmim
+    x = jnp.asarray(np.random.RandomState(11).randn(2, 48, 40, 3)
+                    .astype(np.float32))
+    for k in (7, 8, 47):
+        a = np.asarray(pmim._window_sum_reduce(x, k))
+        b = np.asarray(pmim._window_sum_matmul(x, k))
+        np.testing.assert_allclose(a, b, atol=2e-4)

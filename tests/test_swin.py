@@ -51,3 +51,26 @@ def test_swin_registry():
     from ofb_tpu.models.registry import create_model
     b = create_model("swin_tiny_patch4_window7_224", num_classes=10)
     assert b.cfg.depths == (2, 2, 6, 2)
+
+
+def test_window_pack_equivalence():
+    """OFB_SWIN_PACK=G (block-diagonal packed window attention) must be
+    numerically equivalent to the unpacked forward, incl. shifted blocks
+    with masks and the nW=1 last stage (packs across images)."""
+    import os
+    from ofb_tpu.models.swin import SwinCfg, init_swin_params, swin_forward
+    cfg = SwinCfg(img_size=56, patch_size=4, num_classes=7, embed_dim=16,
+                  depths=(2, 2), num_heads=(2, 4), window=7,
+                  drop_path_rate=0.0)
+    params = init_swin_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 56, 56, 3))
+    base = np.asarray(swin_forward(params, x, cfg, train=False,
+                                   compute_dtype=jnp.float32))
+    for g in (2, 4):
+        os.environ["OFB_SWIN_PACK"] = str(g)
+        try:
+            packed = np.asarray(swin_forward(params, x, cfg, train=False,
+                                             compute_dtype=jnp.float32))
+        finally:
+            os.environ.pop("OFB_SWIN_PACK", None)
+        np.testing.assert_allclose(packed, base, atol=2e-5, rtol=1e-5)
