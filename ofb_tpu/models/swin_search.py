@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..ops import gates as G
 from ..ops.gates import masked_softmax
 from .mim_vit import _GATE_FOLD
+from .swin import _swin_pack
 from .search_space import (ArchState, AttnSpace, BlockSpace, DimArch,
                            DimSpace, PatchSpace, SearchSpace)
 from .swin import (SwinCfg, init_swin_params, relative_position_index,
@@ -127,7 +128,15 @@ def init_swin_search(key, cfg: SwinCfg, space: SearchSpace):
 # ---------------------------------------------------------------------------
 
 def _gated_window_attention(p, x, heads, w, rel_idx, mask, blk_alphas,
-                            blk_arch, blk_space, fused, hard_embed=None):
+                            blk_arch, blk_space, fused, hard_embed=None,
+                            pack: int = 1):
+    Bw0, N0, C = x.shape
+    packed = (pack > 1 and Bw0 % pack == 0
+              and (mask is None or mask.shape[0] % pack == 0))
+    if packed:
+        # block-diagonal window packing (see swin._window_attention):
+        # identical math, better MXU tile fill at N=49 (BENCH.md round 3)
+        x = x.reshape(Bw0 // pack, pack * N0, C)
     Bw, N, C = x.shape
     hd = C // heads
     a = blk_arch.attn
@@ -152,21 +161,42 @@ def _gated_window_attention(p, x, heads, w, rel_idx, mask, blk_alphas,
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * a.scale
     bias = jnp.take(p["rel_bias"].astype(jnp.float32), rel_idx.reshape(-1),
-                    axis=0).reshape(N, N, heads).transpose(2, 0, 1)
-    attn = attn + bias[None]
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(Bw // nW, nW, heads, N, N) + mask[None, :, None]
-        attn = attn.reshape(Bw, heads, N, N)
+                    axis=0).reshape(N0, N0, heads).transpose(2, 0, 1)
+    if packed:
+        from .swin import _block_diag_pack
+        bias = _block_diag_pack(jnp.broadcast_to(bias[:, None],
+                                                 (heads, pack, N0, N0)),
+                                pack, 0.0)[:, 0]       # (heads, N, N)
+        attn = attn + bias[None]
+        attn = attn + jnp.asarray(
+            np.kron(1.0 - np.eye(pack, dtype=np.float32),
+                    np.ones((N0, N0), np.float32)) * -1e9)[None, None]
+        if mask is not None:
+            nW = mask.shape[0]
+            mp = _block_diag_pack(mask, pack, 0.0)     # (nW/pack, N, N)
+            attn = attn.reshape(Bw // (nW // pack), nW // pack, heads,
+                                N, N) + mp[None, :, None]
+            attn = attn.reshape(Bw, heads, N, N)
+    else:
+        attn = attn + bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, heads, N, N) + \
+                mask[None, :, None]
+            attn = attn.reshape(Bw, heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bw, N, C)
     if hard_embed is not None:
         # 0/1 embed mask folded into proj columns — bit-identical to
         # masking the (Bw, N, C) output, much cheaper
         he = hard_embed.astype(x.dtype)
-        return y @ (p["proj"]["kernel"].astype(x.dtype) * he[None, :]) \
+        out = y @ (p["proj"]["kernel"].astype(x.dtype) * he[None, :]) \
             + p["proj"]["bias"].astype(x.dtype) * he
-    return linear(p["proj"], y)
+    else:
+        out = linear(p["proj"], y)
+    if packed:
+        out = out.reshape(Bw0, N0, out.shape[-1])
+    return out
 
 
 def _stage_embed_gates(params, alphas, arch: ArchState, space: SearchSpace,
@@ -252,7 +282,8 @@ def swin_search_forward(params: Params, alphas, arch: ArchState,
                 bp["attn"], win, heads, w, rel_idx,
                 shift_mask if shift else None, alphas["blocks"][gi],
                 arch.blocks[gi], space.blocks[gi], fused,
-                hard_embed=hard)   # residual writes masked to live channels
+                hard_embed=hard,   # residual writes masked to live channels
+                pack=_swin_pack())
             att = window_reverse(att, w, H_, W_)
             if shift:
                 att = jnp.roll(att, (shift, shift), axis=(1, 2))

@@ -31,8 +31,9 @@ _BOX_CUMSUM = os.environ.get("OFB_BOX_CUMSUM", "0") == "1"
 # sum along an axis is a matmul with a constant banded 0/1 matrix — it
 # rides the MXU at matmul rate instead of the VPU's O(k) adds/pixel.
 # ~8.6 GMACs/axis for 256x224x224x3 vs ~14M VPU adds: more FLOPs, far
-# faster silicon if the step is VPU/bandwidth-bound there (A/B: BENCH.md).
-_BOX_MATMUL = os.environ.get("OFB_BOX_MATMUL", "0") == "1"
+# faster silicon. MEASURED on v5e: 1902 -> 2011 img/s on the DeiT-S search
+# step (+5.7%) — default ON; OFB_BOX_MATMUL=0 opts out (BENCH.md round 3).
+_BOX_MATMUL = os.environ.get("OFB_BOX_MATMUL", "1") == "1"
 
 
 def _window_sum_reduce(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -285,3 +285,29 @@ def test_swin_search_train_step_and_freeze():
     ev = make_swin_eval_step(space, CFG, compute_dtype=jnp.float32)
     em = ev(state.params, state.alphas, state.arch, imgs[0], lbls[0])
     assert np.isfinite(float(em["loss_sum"]))
+
+
+def test_search_window_pack_equivalence():
+    """OFB_SWIN_PACK must be numerically equivalent on the GATED search
+    forward too (gate-fold + packed block-diagonal attention)."""
+    import os
+    from ofb_tpu.models.registry import create_model
+    from ofb_tpu.models.swin_search import swin_search_forward
+    cfg = SwinCfg(img_size=56, patch_size=4, num_classes=5, embed_dim=16,
+                  depths=(2, 2), num_heads=(2, 4), window=7,
+                  drop_path_rate=0.0)
+    space = build_swin_space(cfg, embed_search=True)
+    params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), cfg,
+                                            space)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 56, 56, 3))
+    base = np.asarray(swin_search_forward(params, alphas, arch, x, cfg,
+                                          space, train=False,
+                                          compute_dtype=jnp.float32))
+    os.environ["OFB_SWIN_PACK"] = "2"
+    try:
+        packed = np.asarray(swin_search_forward(params, alphas, arch, x,
+                                                cfg, space, train=False,
+                                                compute_dtype=jnp.float32))
+    finally:
+        os.environ.pop("OFB_SWIN_PACK", None)
+    np.testing.assert_allclose(packed, base, atol=2e-5, rtol=1e-5)
