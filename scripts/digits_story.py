@@ -60,6 +60,14 @@ def main():
                          "discovers smaller subnets, the OFB-DeiT-A..E "
                          "compression-level analog)")
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--registry-model", default=None,
+                    help="run the story at REGISTRY geometry (e.g. "
+                         "'deit_tiny') instead of the bespoke tiny model: "
+                         "full 224px supernet through the same CLIs "
+                         "(search uses <name>_patch16_224_mim)")
+    ap.add_argument("--target-frac", type=float, default=None,
+                    help="target_flops as a fraction of the dense model "
+                         "(overrides --target-flops)")
     args = ap.parse_args()
 
     import jax
@@ -77,18 +85,28 @@ def main():
     results = {}
 
     # ---- 1. dense baseline: finetune from a fresh dense init ------------
-    md, mdep, mh = args.model_dims
-    cfg = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=md,
-                   depth=mdep, num_heads=mh, mlp_ratio=2.0)
+    if args.registry_model:
+        from ofb_tpu.models.registry import create_model
+        cfg = create_model(f"{args.registry_model}_patch16_224",
+                           num_classes=10).cfg
+    else:
+        md, mdep, mh = args.model_dims
+        cfg = ModelCfg(img_size=32, patch_size=8, num_classes=10,
+                       embed_dim=md, depth=mdep, num_heads=mh,
+                       mlp_ratio=2.0)
+    if args.target_frac is not None:
+        args.target_flops = args.target_frac * dense_vit_gflops(cfg)
     dense_dir = os.path.join(args.out, "dense_init")
     import dataclasses
     ckpt.save_checkpoint(dense_dir,
                          params=init_vit_params(jax.random.PRNGKey(0), cfg),
                          meta={"exported": True,
                                "model_cfg": dataclasses.asdict(cfg)})
-    common = ["--data-set", "DIGITS", "--tiny-test", "--batch-size",
+    common = ["--data-set", "DIGITS", "--batch-size",
               str(args.batch_size), "--accum-iter", "1", "--num_workers",
               "0", "--compute-dtype", dtype, "--seed", "0"]
+    if not args.registry_model:
+        common.append("--tiny-test")
     # 1,280 train images of upscaled 8x8 digits: the ImageNet DeiT recipe
     # (RandAugment m9 + mixup/cutmix + erasing + blr 1.5e-4) destroys
     # learning at this scale — use a mild recipe and a real LR instead
@@ -119,7 +137,10 @@ def main():
     search_out = os.path.join(args.out, "search")
     extra = ["--w_flops", str(args.w_flops)] \
         if args.w_flops is not None else []
-    extra += ["--tiny-dims", str(md), str(mdep), str(mh)]
+    if args.registry_model:
+        extra += ["--model", f"{args.registry_model}_patch16_224_mim"]
+    else:
+        extra += ["--tiny-dims", str(md), str(mdep), str(mh)]
     sargs = sp.parse_args(common + search_recipe + extra + [
         "--epochs", str(args.search_epochs), "--output_dir", search_out,
         "--target_flops", str(args.target_flops),
