@@ -28,10 +28,16 @@ NEG_INF = -1e9
 
 
 def _swin_pack() -> int:
-    """Window-pack factor for _window_attention (OFB_SWIN_PACK, default 1).
-    Read at trace time so tests/benches can flip it per-jit."""
+    """Window-pack factor for _window_attention (OFB_SWIN_PACK).
+
+    Default 2 — MEASURED on v5e (BENCH.md round 3): dense Swin-T
+    698 -> 818 img/s, search Swin-T 693 -> 823, search Swin-S 332 -> 506.
+    Pack=4 loses (2x2 tile spill). OFB_SWIN_PACK=1 opts out. Read at trace
+    time so tests/benches can flip it per-jit; attention falls back to
+    unpacked automatically when Bw or the mask group count doesn't divide.
+    """
     import os
-    return int(os.environ.get("OFB_SWIN_PACK", "1"))
+    return int(os.environ.get("OFB_SWIN_PACK", "2"))
 
 
 @dataclass(frozen=True)

@@ -64,8 +64,12 @@ def test_window_pack_equivalence():
                   drop_path_rate=0.0)
     params = init_swin_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.uniform(jax.random.PRNGKey(1), (4, 56, 56, 3))
-    base = np.asarray(swin_forward(params, x, cfg, train=False,
-                                   compute_dtype=jnp.float32))
+    os.environ["OFB_SWIN_PACK"] = "1"
+    try:
+        base = np.asarray(swin_forward(params, x, cfg, train=False,
+                                       compute_dtype=jnp.float32))
+    finally:
+        os.environ.pop("OFB_SWIN_PACK", None)
     for g in (2, 4):
         os.environ["OFB_SWIN_PACK"] = str(g)
         try:

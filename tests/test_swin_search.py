@@ -300,9 +300,13 @@ def test_search_window_pack_equivalence():
     params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), cfg,
                                             space)
     x = jax.random.uniform(jax.random.PRNGKey(1), (4, 56, 56, 3))
-    base = np.asarray(swin_search_forward(params, alphas, arch, x, cfg,
-                                          space, train=False,
-                                          compute_dtype=jnp.float32))
+    os.environ["OFB_SWIN_PACK"] = "1"
+    try:
+        base = np.asarray(swin_search_forward(params, alphas, arch, x, cfg,
+                                              space, train=False,
+                                              compute_dtype=jnp.float32))
+    finally:
+        os.environ.pop("OFB_SWIN_PACK", None)
     os.environ["OFB_SWIN_PACK"] = "2"
     try:
         packed = np.asarray(swin_search_forward(params, alphas, arch, x,
