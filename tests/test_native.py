@@ -1,9 +1,12 @@
 """Native data-prep library (native/ofb_dataprep.cpp via ctypes)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from ofb_tpu.data.native import (native_available, resize_rgb, stage_jpeg,
                                  stage_jpeg_batch)
@@ -88,3 +91,32 @@ def test_host_loader_native_batch_path(tmp_path):
     # native batch output must equal the per-image dataset path
     ref0 = ds[0][0]
     np.testing.assert_array_equal(imgs[0], ref0)
+
+
+def test_make_imagefolder_roundtrip(tmp_path):
+    """The JPEG ImageFolder generator produces a tree that scan/decode
+    (native or PIL fallback) stages correctly, with class-separable
+    content (different classes differ more than JPEG noise)."""
+    import subprocess
+    import sys
+    root = str(tmp_path / "imf")
+    r = subprocess.run(
+        [sys.executable, "scripts/make_imagefolder.py", "--root", root,
+         "--classes", "3", "--per-class", "2", "--val-per-class", "1",
+         "--min-size", "40", "--max-size", "64"],
+        cwd=REPO, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    from ofb_tpu.data.datasets import FolderDataset
+    ds = FolderDataset(root + "/train", staging=48)
+    assert len(ds) == 6
+    imgs = {}
+    for i in range(len(ds)):
+        arr, target = ds[i]
+        assert arr.shape == (48, 48, 3) and arr.dtype == np.uint8
+        imgs.setdefault(target, []).append(arr.astype(np.float32))
+    assert sorted(imgs) == [0, 1, 2]
+    # same-class pairs closer than cross-class pairs (content is learnable)
+    same = np.abs(imgs[0][0] - imgs[0][1]).mean()
+    cross = np.abs(imgs[0][0] - imgs[1][0]).mean()
+    assert cross > same
