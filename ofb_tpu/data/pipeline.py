@@ -108,6 +108,51 @@ def make_epoch_loader(dataset, *, epoch: int, rank: int, world: int,
     return HostLoader(dataset, batches, num_workers=num_workers)
 
 
+def _shard_batch(x, y, accum_iter, batch_sharding):
+    """Common tail of every feed: accum-split the macro batch and place it
+    on the mesh (single- and multi-process)."""
+    B = x.shape[0]
+    mb = B // accum_iter
+    x = x[: mb * accum_iter].reshape(accum_iter, mb, *x.shape[1:])
+    y = jnp.asarray(y[: mb * accum_iter]).reshape(accum_iter, mb)
+    if batch_sharding is not None:
+        if len(batch_sharding.device_set) > \
+                len(batch_sharding.addressable_devices):
+            # multi-process mesh: this process's loader yields its
+            # RANK SHARD of the global batch (rank-sharded indices)
+            # — assemble the global array from per-process shards.
+            # device_put would instead assert all processes hold
+            # the same (global) value.
+            x = jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(x))
+            y = jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(y))
+        else:
+            x = jax.device_put(x, batch_sharding)
+            y = jax.device_put(y, batch_sharding)
+    return x, y
+
+
+def _prefetched(it, prefetch: int):
+    """Run `it` `prefetch` items ahead so host decode / index planning
+    overlaps device compute (the pin_memory+non_blocking analog)."""
+    buf = collections.deque()
+    try:
+        for _ in range(prefetch):
+            buf.append(next(it))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = None
+        try:
+            nxt = next(it)
+        except StopIteration:
+            pass
+        yield buf.popleft()
+        if nxt is not None:
+            buf.append(nxt)
+
+
 def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
                 accum_iter: int = 1, out_size: int = 224,
                 use_randaug: bool = True, re_prob: float = 0.25,
@@ -135,41 +180,92 @@ def device_feed(loader: HostLoader, *, rng: jax.Array, train: bool,
                                         crop_scale=crop_scale, hflip=hflip)
             else:
                 x = eval_preprocess_batch(x, out_size=out_size)
-            B = x.shape[0]
-            mb = B // accum_iter
-            x = x[: mb * accum_iter].reshape(accum_iter, mb, *x.shape[1:])
-            y = jnp.asarray(lbls[: mb * accum_iter]).reshape(accum_iter, mb)
-            if batch_sharding is not None:
-                if len(batch_sharding.device_set) > \
-                        len(batch_sharding.addressable_devices):
-                    # multi-process mesh: this process's loader yields its
-                    # RANK SHARD of the global batch (rank-sharded indices)
-                    # — assemble the global array from per-process shards.
-                    # device_put would instead assert all processes hold
-                    # the same (global) value.
-                    import numpy as _np
-                    x = jax.make_array_from_process_local_data(
-                        batch_sharding, _np.asarray(x))
-                    y = jax.make_array_from_process_local_data(
-                        batch_sharding, _np.asarray(y))
-                else:
-                    x = jax.device_put(x, batch_sharding)
-                    y = jax.device_put(y, batch_sharding)
-            yield x, y
+            yield _shard_batch(x, lbls, accum_iter, batch_sharding)
 
-    it = produce()
-    buf = collections.deque()
-    try:
-        for _ in range(prefetch):
-            buf.append(next(it))
-    except StopIteration:
-        pass
-    while buf:
-        nxt = None
-        try:
-            nxt = next(it)
-        except StopIteration:
-            pass
-        yield buf.popleft()
-        if nxt is not None:
-            buf.append(nxt)
+    yield from _prefetched(produce(), prefetch)
+
+
+def build_device_cache(dataset, *, chunk: int = 1024,
+                       max_bytes: int = 12 << 30):
+    """Decode the WHOLE dataset once at staging resolution and park it in
+    device HBM as a single uint8 array.
+
+    On a relay-attached host the per-epoch staging upload (48 MB/s here) is
+    the sustained-throughput ceiling (BENCH.md "Sustained epoch"); caching
+    the decoded uint8 staging set on device pays that upload exactly once
+    and every later epoch gathers batches at HBM bandwidth instead. The
+    reference keeps its dataset on disk behind a torch DataLoader every
+    epoch (reference datasets.py:90-124) — a device-resident cache is the
+    TPU-native answer for datasets that fit (e.g. 20k images @256px staging
+    = 3.9 GB of a 16 GB v5e).
+
+    Returns (cache: uint8 (N,S,S,3) on the default device, labels: np.int32
+    (N,)). Raises ValueError if the decoded set exceeds `max_bytes`.
+    """
+    n = len(dataset)
+    s = int(dataset.staging)
+    nbytes = n * s * s * 3
+    if nbytes > max_bytes:
+        raise ValueError(
+            f"device cache would need {nbytes / 2**30:.1f} GiB "
+            f"(> {max_bytes / 2**30:.1f} GiB cap); use the host loader")
+    host = np.empty((n, s, s, 3), np.uint8)
+    labels = np.empty((n,), np.int32)
+    chunks = [np.arange(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+    loader = HostLoader(dataset, chunks)
+    i0 = 0
+    for imgs, lbls in loader:
+        host[i0:i0 + len(imgs)] = imgs
+        labels[i0:i0 + len(imgs)] = lbls
+        i0 += len(imgs)
+    assert i0 == n
+    return jnp.asarray(host), labels
+
+
+@jax.jit
+def _cache_gather(cache, idx):
+    return jnp.take(cache, idx, axis=0)
+
+
+def device_cache_feed(cache, labels: np.ndarray, *, rng: jax.Array,
+                      epoch: int, rank: int, world: int, batch_size: int,
+                      repeated_aug: bool = True, train: bool = True,
+                      seed: int = 0, accum_iter: int = 1,
+                      out_size: int = 224, use_randaug: bool = True,
+                      re_prob: float = 0.25, crop_scale=(0.08, 1.0),
+                      hflip: bool = True, batch_sharding=None,
+                      prefetch: int = 2, raw: bool = False
+                      ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """device_feed over a `build_device_cache` array: identical epoch index
+    plan (same samplers, same seeds) and identical augment dispatch, but the
+    staging batch comes from an on-device gather instead of a host upload.
+
+    Single-process only: the multi-process path assembles global arrays
+    from process-local numpy shards, which would force a device->host
+    round-trip and defeat the cache (guarded in the CLI).
+    """
+    n = int(cache.shape[0])
+    if train and repeated_aug:
+        idx = ra_indices(n, epoch, rank, world, seed=seed)
+    else:
+        idx = distributed_indices(n, epoch, rank, world, shuffle=train,
+                                  seed=seed)
+    batches = epoch_batches(idx, batch_size, drop_last=train)
+
+    def produce():
+        nonlocal rng
+        for b in batches:
+            rng, sub = jax.random.split(rng)
+            x = _cache_gather(cache, jnp.asarray(b))
+            if raw:
+                pass
+            elif train:
+                x = train_augment_batch(sub, x, out_size=out_size,
+                                        use_randaug=use_randaug,
+                                        re_prob=re_prob,
+                                        crop_scale=crop_scale, hflip=hflip)
+            else:
+                x = eval_preprocess_batch(x, out_size=out_size)
+            yield _shard_batch(x, labels[b], accum_iter, batch_sharding)
+
+    yield from _prefetched(produce(), prefetch)

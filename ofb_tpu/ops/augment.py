@@ -22,10 +22,20 @@ Deviations from timm (documented):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The RandAugment geometry passes are pure HBM traffic: 8 conditional
+# power-of-two rolls over a (H, W+256, C) padded array, x3 shear passes,
+# x2 RA layers. Rolling in uint8 moves 4x fewer bytes than float32
+# (measured 58.4 -> 12.0 ms/batch-256 for one 3-pass set on v5e) and its
+# round+clamp matches PIL's u8 image semantics (the reference's transform
+# stack clamps at every op). Delta vs the f32 path: p99 < 1 uint8 LSB.
+# OFB_AUG_ROLL_U8=0 restores float rolls (BENCH.md round 3).
+_ROLL_U8 = os.environ.get("OFB_AUG_ROLL_U8", "1") == "1"
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -273,21 +283,30 @@ def _row_shift_frac(img: jnp.ndarray, shift: jnp.ndarray,
     (~45x slower, measured); instead the integer shift is decomposed into
     8 conditional power-of-two rolls — rolls have batch-shared shifts
     (fast lane moves) and the per-row choice is an elementwise select.
-    |shift| must be < 127 (our op set maxes at 0.45 * 224 = 101)."""
+    |shift| must be < 127 (our op set maxes at 0.45 * 224 = 101).
+
+    The rolls run in uint8 by default (4x less HBM traffic; round+clamp
+    matches PIL u8 semantics, see _ROLL_U8 note above); the fractional
+    interpolation is done in the input's float dtype either way."""
     H, W, C = img.shape
+    out_dtype = img.dtype
     shift = jnp.clip(shift, -126.0, 125.0)
     k = jnp.floor(shift)
     f = (shift - k)[:, None, None]
     kp = (k.astype(jnp.int32) + _SHIFT_PAD)          # in [2, 253]
 
+    if _ROLL_U8:
+        img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+        fill = round(fill)
     pad = jnp.full((H, _SHIFT_PAD, C), fill, img.dtype)
     x = jnp.concatenate([pad, img, pad], axis=1)     # (H, W + 256, C)
     x = jnp.roll(x, _SHIFT_PAD, axis=1)
     for j in range(8):
         bit = ((kp >> j) & 1).astype(bool)[:, None, None]
         x = jnp.where(bit, jnp.roll(x, -(1 << j), axis=1), x)
-    s0 = x[:, _SHIFT_PAD:_SHIFT_PAD + W]
-    s1 = jnp.roll(x, -1, axis=1)[:, _SHIFT_PAD:_SHIFT_PAD + W]
+    s0 = x[:, _SHIFT_PAD:_SHIFT_PAD + W].astype(out_dtype)
+    s1 = jnp.roll(x, -1, axis=1)[:, _SHIFT_PAD:_SHIFT_PAD + W] \
+        .astype(out_dtype)
     return s0 * (1.0 - f) + s1 * f
 
 

@@ -87,6 +87,10 @@ def get_args_parser():
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true")
+    p.add_argument("--cache-device", action="store_true",
+                   help="keep the decoded uint8 staging set in device HBM "
+                        "(see scripts/search.py --cache-device)")
+    p.add_argument("--cache-device-max-gb", default=12.0, type=float)
     # compat no-ops (see search.py)
     p.add_argument("--use-amp", action="store_true", help="[compat] no-op")
     p.add_argument("--device", default="tpu", help="[compat] no-op")
@@ -171,7 +175,8 @@ def main(args):
                                     make_train_step)
     from ofb_tpu.config import DataConfig
     from ofb_tpu.data.datasets import build_dataset
-    from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
+    from ofb_tpu.data.pipeline import (build_device_cache, device_cache_feed,
+                                       device_feed, make_epoch_loader)
     from ofb_tpu.models.pos_embed import interpolate_pos_embed
     from ofb_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
     from ofb_tpu.utils.logging import RunLogger, master_print
@@ -188,6 +193,20 @@ def main(args):
     out_size = args.input_size if not args.tiny_test else 32
     ds_train, nb_classes = build_dataset(True, dcfg, staging)
     ds_val, _ = build_dataset(False, dcfg, staging)
+
+    # optional device-resident uint8 cache (see data/pipeline.py; same
+    # contract as scripts/search.py --cache-device)
+    cache_train = cache_val = None
+    if args.cache_device:
+        if world > 1:
+            master_print("--cache-device is single-process only; "
+                         "falling back to the host loader")
+        else:
+            max_bytes = int(args.cache_device_max_gb * 2**30)
+            cache_train = build_device_cache(ds_train, max_bytes=max_bytes)
+            cache_val = build_device_cache(ds_val, max_bytes=max_bytes)
+            float(cache_train[0][-1, 0, 0, 0])
+            master_print("device cache staged")
 
     params, cfg = load_searched_model(args.finetune, args, nb_classes)
     cfg = dataclasses.replace(cfg, num_classes=nb_classes,
@@ -278,17 +297,27 @@ def main(args):
     t0 = time.time()
 
     for epoch in range(start_epoch, args.epochs):
-        loader = make_epoch_loader(
-            ds_train, epoch=epoch, rank=rank, world=world,
-            batch_size=args.batch_size * args.accum_iter,
-            repeated_aug=args.repeated_aug, train=True, seed=args.seed,
-            num_workers=args.num_workers if not args.tiny_test else 0)
         rng, frng, erng = jax.random.split(rng, 3)
-        feed = device_feed(loader, rng=frng, train=True,
-                           accum_iter=args.accum_iter, out_size=out_size,
-                           use_randaug=bool(args.aa), re_prob=args.reprob,
-                           crop_scale=(args.min_crop_scale, 1.0),
-                           hflip=args.hflip, batch_sharding=bsh)
+        if cache_train is not None:
+            feed = device_cache_feed(
+                *cache_train, rng=frng, epoch=epoch, rank=rank, world=world,
+                batch_size=args.batch_size * args.accum_iter,
+                repeated_aug=args.repeated_aug, train=True, seed=args.seed,
+                accum_iter=args.accum_iter, out_size=out_size,
+                use_randaug=bool(args.aa), re_prob=args.reprob,
+                crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip,
+                batch_sharding=bsh)
+        else:
+            loader = make_epoch_loader(
+                ds_train, epoch=epoch, rank=rank, world=world,
+                batch_size=args.batch_size * args.accum_iter,
+                repeated_aug=args.repeated_aug, train=True, seed=args.seed,
+                num_workers=args.num_workers if not args.tiny_test else 0)
+            feed = device_feed(loader, rng=frng, train=True,
+                               accum_iter=args.accum_iter, out_size=out_size,
+                               use_randaug=bool(args.aa), re_prob=args.reprob,
+                               crop_scale=(args.min_crop_scale, 1.0),
+                               hflip=args.hflip, batch_sharding=bsh)
         state, train_stats = train_one_epoch(
             state, step_fn, feed, epoch=epoch,
             steps_per_epoch=steps_per_epoch, rng=erng)
@@ -304,14 +333,21 @@ def main(args):
         if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
 
             def run_eval(eval_params):
-                vloader = make_epoch_loader(ds_val, epoch=0, rank=rank,
-                                            world=world,
-                                            batch_size=args.batch_size,
-                                            repeated_aug=False, train=False,
-                                            seed=args.seed)
-                vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
-                                    train=False, accum_iter=1,
-                                    out_size=out_size)
+                if cache_val is not None:
+                    vfeed = device_cache_feed(
+                        *cache_val, rng=jax.random.PRNGKey(0), epoch=0,
+                        rank=rank, world=world, batch_size=args.batch_size,
+                        repeated_aug=False, train=False, seed=args.seed,
+                        accum_iter=1, out_size=out_size)
+                else:
+                    vloader = make_epoch_loader(ds_val, epoch=0, rank=rank,
+                                                world=world,
+                                                batch_size=args.batch_size,
+                                                repeated_aug=False,
+                                                train=False, seed=args.seed)
+                    vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
+                                        train=False, accum_iter=1,
+                                        out_size=out_size)
                 return evaluate(eval_step, vfeed, eval_params)
 
             # evaluate raw AND EMA weights, keep the better (the DeiT

@@ -138,6 +138,13 @@ def get_args_parser():
                    help="run the train transform inside the train-step jit")
     p.add_argument("--no-fused-augment", action="store_false",
                    dest="fused_augment")
+    p.add_argument("--cache-device", action="store_true",
+                   help="decode the dataset once and keep the uint8 staging "
+                        "set in device HBM; epochs gather batches on device "
+                        "instead of re-uploading (single-process, datasets "
+                        "that fit HBM)")
+    p.add_argument("--cache-device-max-gb", default=12.0, type=float,
+                   help="refuse the device cache above this decoded size")
     p.add_argument("--eval-every", default=1, type=int)
     p.add_argument("--tiny-test", action="store_true",
                    help="tiny model/images for smoke tests")
@@ -175,7 +182,8 @@ def main(args):
     from ofb_tpu.core.steps import (TrainState, make_eval_step,
                                     make_search_step)
     from ofb_tpu.data.datasets import build_dataset
-    from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
+    from ofb_tpu.data.pipeline import (build_device_cache, device_cache_feed,
+                                       device_feed, make_epoch_loader)
     from ofb_tpu.models.mim_vit import fuse_params
     from ofb_tpu.models.registry import ModelBundle, create_model
     from ofb_tpu.models.search_space import SearchSpace
@@ -252,6 +260,24 @@ def main(args):
     out_size = scfg.data.input_size if not args.tiny_test else 32
     ds_train, nb_classes = build_dataset(True, scfg.data, staging)
     ds_val, _ = build_dataset(False, scfg.data, staging)
+
+    # optional device-resident uint8 cache (one decode+upload, then every
+    # epoch gathers at HBM bandwidth — see data/pipeline.py)
+    cache_train = cache_val = None
+    if args.cache_device:
+        if world > 1:
+            master_print("--cache-device is single-process only; "
+                         "falling back to the host loader")
+        else:
+            t0 = time.time()
+            max_bytes = int(args.cache_device_max_gb * 2**30)
+            cache_train = build_device_cache(ds_train, max_bytes=max_bytes)
+            cache_val = build_device_cache(ds_val, max_bytes=max_bytes)
+            # force the upload now so step timing excludes it
+            float(cache_train[0][-1, 0, 0, 0])
+            gb = (cache_train[0].nbytes + cache_val[0].nbytes) / 2**30
+            master_print(f"device cache: {gb:.2f} GiB staged+uploaded "
+                         f"in {time.time() - t0:.1f}s")
 
     # model
     if args.tiny_test:
@@ -367,6 +393,21 @@ def main(args):
     step_fn = build_step("postsearch" if finish_search else "search")
     eval_step = make_eval_step(space, cfg, compute_dtype=compute)
 
+    def make_val_feed():
+        if cache_val is not None:
+            return device_cache_feed(
+                *cache_val, rng=jax.random.PRNGKey(0), epoch=0, rank=rank,
+                world=world, batch_size=scfg.data.batch_size,
+                repeated_aug=False, train=False, seed=scfg.seed,
+                accum_iter=1, out_size=out_size, batch_sharding=None)
+        vloader = make_epoch_loader(
+            ds_val, epoch=0, rank=rank, world=world,
+            batch_size=scfg.data.batch_size, repeated_aug=False,
+            train=False, seed=scfg.seed)
+        return device_feed(vloader, rng=jax.random.PRNGKey(0), train=False,
+                           accum_iter=1, out_size=out_size,
+                           batch_sharding=None)
+
     logger = RunLogger(scfg.output_dir)
     bsh = batch_sharding(mesh, leading_accum=True)
     rng = jax.random.PRNGKey(scfg.seed + 1234)
@@ -385,18 +426,32 @@ def main(args):
             master_print("== finish_search: PMIM off, decoder frozen, "
                          "mixup/cutmix on, soft-target CE ==")
 
-        loader = make_epoch_loader(
-            ds_train, epoch=epoch, rank=rank, world=world,
-            batch_size=scfg.data.batch_size * scfg.accum_iter,
-            repeated_aug=scfg.data.repeated_aug, train=True, seed=scfg.seed,
-            num_workers=scfg.data.num_workers if not args.tiny_test else 0)
         rng, feed_rng, epoch_rng = jax.random.split(rng, 3)
-        feed = device_feed(loader, rng=feed_rng, train=True,
-                           accum_iter=scfg.accum_iter, out_size=out_size,
-                           use_randaug=bool(args.aa), re_prob=args.reprob,
-                           crop_scale=(args.min_crop_scale, 1.0),
-                           hflip=args.hflip,
-                           batch_sharding=bsh, raw=args.fused_augment)
+        if cache_train is not None:
+            feed = device_cache_feed(
+                *cache_train, rng=feed_rng, epoch=epoch, rank=rank,
+                world=world,
+                batch_size=scfg.data.batch_size * scfg.accum_iter,
+                repeated_aug=scfg.data.repeated_aug, train=True,
+                seed=scfg.seed, accum_iter=scfg.accum_iter,
+                out_size=out_size, use_randaug=bool(args.aa),
+                re_prob=args.reprob,
+                crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip,
+                batch_sharding=bsh, raw=args.fused_augment)
+        else:
+            loader = make_epoch_loader(
+                ds_train, epoch=epoch, rank=rank, world=world,
+                batch_size=scfg.data.batch_size * scfg.accum_iter,
+                repeated_aug=scfg.data.repeated_aug, train=True,
+                seed=scfg.seed,
+                num_workers=scfg.data.num_workers if not args.tiny_test
+                else 0)
+            feed = device_feed(loader, rng=feed_rng, train=True,
+                               accum_iter=scfg.accum_iter, out_size=out_size,
+                               use_randaug=bool(args.aa), re_prob=args.reprob,
+                               crop_scale=(args.min_crop_scale, 1.0),
+                               hflip=args.hflip,
+                               batch_sharding=bsh, raw=args.fused_augment)
 
         was_finished = finish_search
         state, train_stats, finish_search, pruned = search_one_epoch(
@@ -431,13 +486,7 @@ def main(args):
         # so test_stats (and the best-checkpoint decision keyed on it) are
         # full-val-set numbers, identical on every process.
         if epoch % args.eval_every == 0 or epoch == scfg.epochs - 1:
-            vloader = make_epoch_loader(
-                ds_val, epoch=0, rank=rank, world=world,
-                batch_size=scfg.data.batch_size, repeated_aug=False,
-                train=False, seed=scfg.seed)
-            vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
-                                train=False, accum_iter=1, out_size=out_size,
-                                batch_sharding=None)
+            vfeed = make_val_feed()
             test_stats = evaluate(eval_step, vfeed, state.params,
                                   state.alphas, state.arch)
             master_print(f"Soft accuracy: {test_stats['acc1']:.2f}% "
@@ -501,15 +550,8 @@ def main(args):
         fparams, farch = fuse_params(bparams, barch, space, cfg)
         fused_eval = make_eval_step(space, cfg, compute_dtype=compute,
                                     fused=True)
-        vloader = make_epoch_loader(
-            ds_val, epoch=0, rank=rank, world=world,
-            batch_size=scfg.data.batch_size, repeated_aug=False,
-            train=False, seed=scfg.seed)
-        vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0), train=False,
-                            accum_iter=1, out_size=out_size,
-                            batch_sharding=None)
-        fstats = evaluate(fused_eval, vfeed, fparams, balphas, farch,
-                          header="Fused:")
+        fstats = evaluate(fused_eval, make_val_feed(), fparams, balphas,
+                          farch, header="Fused:")
         if scfg.output_dir:
             ckpt.save_checkpoint(
                 os.path.join(scfg.output_dir, "model_fused"),

@@ -392,3 +392,51 @@ def test_inat_json_dataset(tmp_path):
     assert img.shape == (32, 32, 3)
     # sorted names: ant=0, zebra=1; image 1 -> category_id 1 -> 'ant' -> 0
     assert lbl == 0
+
+
+# ---------------------------------------------------------------------------
+# device-resident dataset cache (pipeline.build_device_cache / feed)
+# ---------------------------------------------------------------------------
+
+def test_device_cache_matches_host_feed():
+    """The cached feed must be BIT-IDENTICAL to the host-loader feed: same
+    epoch index plan (same samplers/seed), same augment rng stream — the
+    only difference is where the staging bytes come from."""
+    from ofb_tpu.data.pipeline import (build_device_cache, device_cache_feed,
+                                       device_feed, make_epoch_loader)
+
+    ds = SyntheticDataset(37, 5, 24)
+    cache, labels = build_device_cache(ds, chunk=16)
+    assert cache.shape == (37, 24, 24, 3) and cache.dtype == jnp.uint8
+    # cache rows are exactly the dataset's staging images
+    for i in (0, 7, 36):
+        img, lbl = ds[i]
+        np.testing.assert_array_equal(np.asarray(cache[i]), img)
+        assert int(labels[i]) == lbl
+
+    common = dict(epoch=2, rank=0, world=1, batch_size=8, seed=3)
+    for raw, train, ra, accum in ((True, True, True, 2), (False, True, True, 1),
+                                  (False, False, False, 1)):
+        loader = make_epoch_loader(ds, train=train, repeated_aug=ra,
+                                   **{k: v for k, v in common.items()
+                                      if k != "batch_size"},
+                                   batch_size=common["batch_size"])
+        host = list(device_feed(loader, rng=jax.random.PRNGKey(9),
+                                train=train, accum_iter=accum, out_size=16,
+                                raw=raw))
+        cached = list(device_cache_feed(cache, labels,
+                                        rng=jax.random.PRNGKey(9),
+                                        train=train, repeated_aug=ra,
+                                        accum_iter=accum, out_size=16,
+                                        raw=raw, **common))
+        assert len(host) == len(cached) and len(host) > 0
+        for (hx, hy), (cx, cy) in zip(host, cached):
+            np.testing.assert_array_equal(np.asarray(hx), np.asarray(cx))
+            np.testing.assert_array_equal(np.asarray(hy), np.asarray(cy))
+
+
+def test_device_cache_size_guard():
+    from ofb_tpu.data.pipeline import build_device_cache
+    ds = SyntheticDataset(64, 4, 32)
+    with pytest.raises(ValueError):
+        build_device_cache(ds, max_bytes=1000)

@@ -81,3 +81,21 @@ def test_affine_warp_two_pass_matches_pil():
     ref = np.asarray(pil).astype(np.float32)
     dcent = np.abs(ours[16:-16, 16:-16] - ref[16:-16, 16:-16])
     assert dcent.mean() < 4.0, dcent.mean()
+
+
+def test_u8_roll_path_matches_f32_rolls(monkeypatch):
+    """The default uint8-roll geometry (4x less HBM traffic, BENCH round 3)
+    must track the float32 roll path within ~1 uint8 LSB."""
+    from ofb_tpu.ops import augment as A
+
+    img = jnp.asarray(np.random.RandomState(3).rand(48, 48, 3) * 255.0,
+                      jnp.float32)
+    ys = jnp.arange(48, dtype=jnp.float32) - 23.5
+    shift = 0.2 * ys + 7.3
+    monkeypatch.setattr(A, "_ROLL_U8", True)
+    out_u8 = np.asarray(A._row_shift_frac(img, shift, 128.0))
+    monkeypatch.setattr(A, "_ROLL_U8", False)
+    out_f32 = np.asarray(A._row_shift_frac(img, shift, 128.0))
+    d = np.abs(out_u8 - out_f32)
+    assert d.mean() < 0.5 and np.quantile(d, 0.99) < 1.0, \
+        (d.mean(), np.quantile(d, 0.99))
