@@ -37,6 +37,13 @@ import numpy as np
 # OFB_AUG_ROLL_U8=0 restores float rolls (BENCH.md round 3).
 _ROLL_U8 = os.environ.get("OFB_AUG_ROLL_U8", "1") == "1"
 
+# RandomErasing noise in bfloat16: the per-image (H,W,C) N(0,1) draw is
+# pure RNG-bit generation (f32 costs ~42 ms/batch-256 inside the fused
+# augment program; bf16 makes it free — 85.3 -> 43.9 ms/batch measured).
+# Noise precision is irrelevant for augmentation. OFB_ERASE_BF16=0 opts
+# out (BENCH.md round 3).
+_ERASE_BF16 = os.environ.get("OFB_ERASE_BF16", "1") == "1"
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -474,7 +481,9 @@ def random_erasing(rng, img_norm: jnp.ndarray, *, prob: float = 0.25,
     rows = jnp.arange(H, dtype=jnp.float32)[:, None]
     cols = jnp.arange(W, dtype=jnp.float32)[None, :]
     box = ((rows >= y0) & (rows < y0 + h) & (cols >= x0) & (cols < x0 + w))
-    noise = jax.random.normal(k_noise, img_norm.shape)
+    noise_dtype = jnp.bfloat16 if _ERASE_BF16 else jnp.float32
+    noise = jax.random.normal(k_noise, img_norm.shape,
+                              noise_dtype).astype(img_norm.dtype)
     out = jnp.where(box[..., None] & apply, noise, img_norm)
     return out
 
