@@ -76,6 +76,10 @@ def get_args_parser():
                         "<output_dir>/running_ckpt)")
     p.add_argument("--checkpoint", default="", type=str)
     p.add_argument("--tiny-test", action="store_true")
+    p.add_argument("--cache-device", action="store_true",
+                   help="keep the decoded uint8 staging set in device HBM "
+                        "(see scripts/search.py --cache-device)")
+    p.add_argument("--cache-device-max-gb", default=12.0, type=float)
     p.add_argument("--force-finish", action="store_true",
                    help="if the search has not converged by the last epoch, "
                         "force every module to its argmax cell (the "
@@ -100,7 +104,8 @@ def main(args):
     from ofb_tpu.core.swin_steps import (make_swin_eval_step,
                                          make_swin_search_step)
     from ofb_tpu.data.datasets import build_dataset
-    from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
+    from ofb_tpu.data.pipeline import (build_device_cache, device_cache_feed,
+                                       device_feed, make_epoch_loader)
     from ofb_tpu.models.registry import create_model
     from ofb_tpu.models.swin import SwinCfg
     from ofb_tpu.models.swin_search import (build_swin_space,
@@ -140,6 +145,20 @@ def main(args):
                       batch_size=args.batch_size)
     ds_train, nb_classes = build_dataset(True, dcfg, staging)
     ds_val, _ = build_dataset(False, dcfg, staging)
+
+    # optional device-resident uint8 cache (see data/pipeline.py; same
+    # contract as scripts/search.py --cache-device)
+    cache_train = cache_val = None
+    if args.cache_device:
+        if world > 1:
+            master_print("--cache-device is single-process only; "
+                         "falling back to the host loader")
+        else:
+            max_bytes = int(args.cache_device_max_gb * 2**30)
+            cache_train = build_device_cache(ds_train, max_bytes=max_bytes)
+            cache_val = build_device_cache(ds_val, max_bytes=max_bytes)
+            float(cache_train[0][-1, 0, 0, 0])
+            master_print("device cache staged")
 
     if args.tiny_test:
         cfg = SwinCfg(img_size=32, patch_size=2, num_classes=nb_classes,
@@ -216,6 +235,39 @@ def main(args):
     eval_step = make_swin_eval_step(space, cfg, compute_dtype=compute)
     logger = RunLogger(scfg.output_dir)
     bsh = batch_sharding(mesh, leading_accum=True)
+
+    def train_feed(epoch, frng, *, batch, ra, accum):
+        if cache_train is not None:
+            return device_cache_feed(
+                *cache_train, rng=frng, epoch=epoch, rank=rank, world=world,
+                batch_size=batch, repeated_aug=ra, train=True,
+                seed=scfg.seed, accum_iter=accum, out_size=out_size,
+                use_randaug=bool(args.aa), re_prob=args.reprob,
+                crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip,
+                batch_sharding=bsh)
+        loader = make_epoch_loader(
+            ds_train, epoch=epoch, rank=rank, world=world, batch_size=batch,
+            repeated_aug=ra, train=True, seed=scfg.seed,
+            num_workers=args.num_workers if not args.tiny_test else 0)
+        return device_feed(loader, rng=frng, train=True, accum_iter=accum,
+                           out_size=out_size, use_randaug=bool(args.aa),
+                           re_prob=args.reprob,
+                           crop_scale=(args.min_crop_scale, 1.0),
+                           hflip=args.hflip, batch_sharding=bsh)
+
+    def val_feed():
+        if cache_val is not None:
+            return device_cache_feed(
+                *cache_val, rng=jax.random.PRNGKey(0), epoch=0, rank=rank,
+                world=world, batch_size=args.batch_size, repeated_aug=False,
+                train=False, seed=scfg.seed, accum_iter=1, out_size=out_size)
+        vloader = make_epoch_loader(ds_val, epoch=0, rank=rank, world=world,
+                                    batch_size=args.batch_size,
+                                    repeated_aug=False, train=False,
+                                    seed=scfg.seed)
+        return device_feed(vloader, rng=jax.random.PRNGKey(0), train=False,
+                           accum_iter=1, out_size=out_size,
+                           batch_sharding=None)
     rng = jax.random.PRNGKey(scfg.seed + 1234)
     finish_search = arch.all_finished
     max_acc = resumed_best
@@ -224,17 +276,10 @@ def main(args):
     for epoch in range(start_epoch, scfg.epochs):
         step_fn = pstep if finish_search else sstep
         wrapped = lambda s, i, l, r, k, _f=step_fn: _f(s, i, l, r)
-        loader = make_epoch_loader(
-            ds_train, epoch=epoch, rank=rank, world=world,
-            batch_size=args.batch_size * scfg.accum_iter,
-            repeated_aug=args.repeated_aug, train=True, seed=scfg.seed,
-            num_workers=args.num_workers if not args.tiny_test else 0)
         rng, frng, erng = jax.random.split(rng, 3)
-        feed = device_feed(loader, rng=frng, train=True,
-                           accum_iter=scfg.accum_iter, out_size=out_size,
-                           use_randaug=bool(args.aa), re_prob=args.reprob,
-                           crop_scale=(args.min_crop_scale, 1.0),
-                           hflip=args.hflip, batch_sharding=bsh)
+        feed = train_feed(epoch, frng,
+                          batch=args.batch_size * scfg.accum_iter,
+                          ra=args.repeated_aug, accum=scfg.accum_iter)
         state, stats, finish_search, pruned = search_one_epoch(
             state, wrapped, feed, epoch=epoch,
             steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
@@ -249,15 +294,7 @@ def main(args):
                       "family": "swin"}, async_write=True)
 
         if epoch % args.eval_every == 0 or epoch == scfg.epochs - 1:
-            vloader = make_epoch_loader(ds_val, epoch=0, rank=rank,
-                                        world=world,
-                                        batch_size=args.batch_size,
-                                        repeated_aug=False, train=False,
-                                        seed=scfg.seed)
-            vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
-                                train=False, accum_iter=1,
-                                out_size=out_size, batch_sharding=None)
-            test_stats = evaluate(eval_step, vfeed, state.params,
+            test_stats = evaluate(eval_step, val_feed(), state.params,
                                   state.alphas, state.arch)
             if test_stats["acc1"] >= max_acc and scfg.output_dir:
                 ckpt.save_checkpoint(
@@ -315,14 +352,7 @@ def main(args):
         dense_eval = make_swin_eval_step_dense(dcfg_out,
                                                compute_dtype=compute)
 
-        vloader = make_epoch_loader(ds_val, epoch=0, rank=rank, world=world,
-                                    batch_size=args.batch_size,
-                                    repeated_aug=False, train=False,
-                                    seed=scfg.seed)
-        vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0), train=False,
-                            accum_iter=1, out_size=out_size,
-                            batch_sharding=None)
-        exp_stats = evaluate(dense_eval, vfeed, dense)
+        exp_stats = evaluate(dense_eval, val_feed(), dense)
         master_print(f"exported subnet acc1 {exp_stats['acc1']:.2f}% "
                      f"(supernet best {max_acc:.2f}%)")
         import dataclasses
@@ -380,30 +410,14 @@ def main(args):
             ft_best_params = fstate.params
             frng = jax.random.PRNGKey(scfg.seed + 777)
             for fe in range(ft_epochs):
-                floader = make_epoch_loader(
-                    ds_train, epoch=fe, rank=rank, world=world,
-                    batch_size=args.batch_size, repeated_aug=False,
-                    train=True, seed=scfg.seed)
                 frng, a, b = jax.random.split(frng, 3)
-                ffeed = device_feed(floader, rng=a, train=True, accum_iter=1,
-                                    out_size=out_size,
-                                    use_randaug=bool(args.aa),
-                                    re_prob=args.reprob,
-                                    crop_scale=(args.min_crop_scale, 1.0),
-                                    hflip=args.hflip, batch_sharding=bsh)
+                ffeed = train_feed(fe, a, batch=args.batch_size, ra=False,
+                                   accum=1)
                 for images, labels in ffeed:     # (A=1, mb, H, W, 3)
                     b, sub = jax.random.split(b)
                     fstate, fm = ft_step(fstate, images, labels, sub)
                 if fe % max(args.eval_every, 1) == 0 or fe == ft_epochs - 1:
-                    vloader = make_epoch_loader(
-                        ds_val, epoch=0, rank=rank, world=world,
-                        batch_size=args.batch_size, repeated_aug=False,
-                        train=False, seed=scfg.seed)
-                    vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
-                                        train=False, accum_iter=1,
-                                        out_size=out_size,
-                                        batch_sharding=None)
-                    fstats = evaluate(dense_eval, vfeed, fstate.params)
+                    fstats = evaluate(dense_eval, val_feed(), fstate.params)
                     if fstats["acc1"] >= ft_best:
                         # snapshot the weights that achieved the recorded
                         # acc1 — the saved checkpoint must not overstate

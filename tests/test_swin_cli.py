@@ -15,7 +15,10 @@ def test_swin_search_cli_smoke(tmp_path):
             "--epochs", "1", "--batch-size", "64", "--accum-iter", "1",
             "--output_dir", out, "--compute-dtype", "float32",
             "--compress-thresh", "1.5", "--num_workers", "0",
-            "--force-finish", "--export-finetune-epochs", "1"]
+            "--force-finish", "--export-finetune-epochs", "1",
+            # exercises the device-cache feed path through the full CLI
+            # (bit-identical to the host feed — tests/test_data_and_optim)
+            "--cache-device"]
     code = (f"import sys; sys.argv = {argv!r}; "
             "import jax; jax.config.update('jax_platforms', 'cpu'); "
             "import runpy; "
