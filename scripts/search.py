@@ -146,6 +146,9 @@ def get_args_parser():
     p.add_argument("--cache-device-max-gb", default=12.0, type=float,
                    help="refuse the device cache above this decoded size")
     p.add_argument("--eval-every", default=1, type=int)
+    p.add_argument("--ckpt-every", default=1, type=int,
+                   help="write running_ckpt every N epochs (1 = reference "
+                        "parity; final/fuse-point epochs always write)")
     p.add_argument("--tiny-test", action="store_true",
                    help="tiny model/images for smoke tests")
     p.add_argument("--tiny-dims", type=int, nargs=3, default=(32, 2, 2),
@@ -471,11 +474,17 @@ def main(args):
                     os.path.join(scfg.output_dir, "model_pruned"),
                     params=state.params, alphas=state.alphas,
                     arch=state.arch, meta=meta)
-            ckpt.save_checkpoint(
-                os.path.join(scfg.output_dir, "running_ckpt"),
-                params=state.params, alphas=state.alphas, arch=state.arch,
-                opt_state=state.opt_state, ema_params=state.ema_params,
-                meta=meta, async_write=True)
+            # the running checkpoint costs a full host readback of params +
+            # opt_state (~0.5 GB for DeiT-S); on a relay-attached host that
+            # is seconds per epoch — --ckpt-every thins it (the final epoch
+            # and every prune/best checkpoint are always written)
+            if epoch % args.ckpt_every == 0 or epoch == scfg.epochs - 1 \
+                    or epoch == scfg.fuse_point:
+                ckpt.save_checkpoint(
+                    os.path.join(scfg.output_dir, "running_ckpt"),
+                    params=state.params, alphas=state.alphas, arch=state.arch,
+                    opt_state=state.opt_state, ema_params=state.ema_params,
+                    meta=meta, async_write=True)
             if args.vis_score and not finish_search:
                 logger.save_score_maps(jax.device_get(state.params),
                                        jax.device_get(state.alphas),
