@@ -474,6 +474,17 @@ def _update_w_p_device(arch: ArchState, val: jnp.ndarray) -> ArchState:
         stage_embeds=tuple(upd(d) for d in arch.stage_embeds))
 
 
+def sync_w_p(arch: ArchState, frac_epoch: float,
+             warmup_epochs: float) -> ArchState:
+    """Set every unfinished module's w_p to the CLAMPED schedule value —
+    the host-side mirror of the in-jit anneal in
+    steps.make_planned_search_step (same `w_p_schedule` formula), used by
+    the planned epoch loop to keep ArchState.w_p in step with what the
+    device program last applied before compress/eval/checkpoint."""
+    from .steps import w_p_schedule
+    return _update_w_p_device(arch, w_p_schedule(frac_epoch, warmup_epochs))
+
+
 def update_w_p(arch: ArchState, frac_epoch: float, warmup_epochs: float,
                w_max: float = 0.99, w_min: float = 0.1) -> ArchState:
     """Anneal w_p for every *unfinished* module (reference engine.py:110-117

@@ -122,6 +122,89 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
     return state, stats, finish_search, execute_pruned
 
 
+def search_one_epoch_planned(state: TrainState, step_fn: Callable,
+                             metric_keys, cache, labels: np.ndarray,
+                             batches, *, epoch: int, scfg: SearchConfig,
+                             space: SearchSpace, rng, finish_search: bool,
+                             log_every: int = 10, print_fn=master_print
+                             ) -> Tuple[TrainState, Dict[str, float],
+                                        bool, bool]:
+    """search_one_epoch over a `make_planned_search_step` step: the epoch
+    index plan is uploaded once and each iteration is ONE execute dispatch
+    (no per-step rng/w_p/keep/gather/label round-trips — see
+    steps.make_planned_search_step). Identical compress cadence, NaN
+    abort, and metric cadence as the classic loop."""
+    import time as _time
+    from .compress import sync_w_p
+    logger = MetricLogger(print_fn=print_fn)
+    execute_pruned = False
+    A = scfg.accum_iter
+    steps_per_epoch = len(batches)
+    micro_per_epoch = steps_per_epoch * A
+    compress_every = max(steps_per_epoch // scfg.compress_per_epoch, 1)
+    warm = scfg.schedule.warmup_epochs
+    loss_pos = metric_keys.index("loss_total")
+    t_epoch = _time.time()
+
+    idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
+    labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
+    epoch_dev = jnp.asarray(epoch, jnp.int32)
+    base = state.step
+
+    pending = []
+
+    def flush():
+        host = jax.device_get(pending)
+        for v in host:
+            logger.update(**{k: float(x)
+                             for k, x in zip(metric_keys, v)})
+            if not math.isfinite(float(v[loss_pos])):
+                print_fn(f"Loss is {float(v[loss_pos])}, stopping training")
+                sys.exit(1)
+        pending.clear()
+
+    def host_sync_w_p(frac):
+        return state.replace(arch=sync_w_p(state.arch, frac, warm))
+
+    for it in range(steps_per_epoch):
+        state, packed = step_fn(state, cache, idx_plan, labels_plan, rng,
+                                base, epoch_dev)
+        pending.append(packed)
+
+        if it % log_every == 0 or it == steps_per_epoch - 1:
+            flush()
+            print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
+
+        if not finish_search and (it + 1) % compress_every == 0:
+            flush()
+            print_fn("Start Compression")
+            frac = epoch + ((it + 1) * A) / max(micro_per_epoch, 1)
+            state = host_sync_w_p(frac)
+            params, alphas, arch, opt_state, report = compress(
+                state.params, state.alphas, state.arch, state.opt_state,
+                space, scfg.compress_thresh)
+            state = state.replace(params=params, alphas=alphas, arch=arch,
+                                  opt_state=opt_state)
+            execute_pruned |= report.execute_prune
+            for e in report.events:
+                print_fn(f"  {e}")
+            finish_search = report.finish_search
+
+    flush()
+    # leave state.arch.w_p at the epoch-final anneal value so eval /
+    # checkpoints / a later classic-loop stage see the same state the
+    # in-jit schedule last applied
+    state = host_sync_w_p(epoch + 1.0)
+    dt = _time.time() - t_epoch
+    n_images = int(idx_plan.size)
+    stats = logger.averages()
+    stats["epoch_time_s"] = dt
+    stats["img_s"] = n_images / max(dt, 1e-9)
+    print_fn(f"Epoch [{epoch}] total {dt:.1f}s "
+             f"({stats['img_s']:.1f} img/s sustained)")
+    return state, stats, finish_search, execute_pruned
+
+
 def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
                     epoch: int, steps_per_epoch: int, rng,
                     log_every: int = 10, print_fn=master_print

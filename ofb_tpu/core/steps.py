@@ -154,7 +154,7 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    def step(state: TrainState, images, labels, rng, keep_ratio):
+    def core_step(state: TrainState, images, labels, rng, keep_ratio):
         A = images.shape[0]
 
         def micro(carry, xs):
@@ -208,7 +208,116 @@ def make_search_step(space: SearchSpace, mcfg: ModelCfg, scfg: SearchConfig,
                                   ema_params=ema)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(core_step, donate_argnums=(0,) if donate else ())
+
+
+METRIC_KEYS_SEARCH = ("loss_param", "loss_total", "loss_arch",
+                      "loss_decoder", "searched_gflops", "grad_norm")
+METRIC_KEYS_POSTSEARCH = ("loss_param", "loss_total", "grad_norm")
+
+
+def w_p_schedule(frac_epoch, warmup_epochs,
+                 w_max: float = 0.99, w_min: float = 0.1):
+    """Clamped bi-mask anneal value (reference layers.py update_w). Works on
+    host floats and traced scalars alike; the planned step and the host
+    sync in the planned epoch loop both use THIS formula so the in-jit
+    w_p and the checkpointed ArchState.w_p agree."""
+    t = jnp.minimum(jnp.asarray(frac_epoch, jnp.float32)
+                    / max(float(warmup_epochs), 1e-8), 1.0)
+    return jnp.asarray(w_max, jnp.float32) + (w_min - w_max) * t
+
+
+def keep_ratio_schedule(frac_epoch, scfg: SearchConfig, arch, space):
+    """PMIM keep-ratio: progressive linear anneal max->min over warmup
+    (reference vision_transformer.py:521-523) or, non-progressive, the
+    smallest active patch cell's ratio — computed from device state so the
+    planned step needs no host readback."""
+    if scfg.progressive:
+        t = jnp.minimum(jnp.asarray(frac_epoch, jnp.float32)
+                        / max(scfg.schedule.warmup_epochs, 1e-8), 1.0)
+        return scfg.max_ratio + (scfg.min_ratio - scfg.max_ratio) * t
+    ratios = jnp.asarray(space.patch.ratios, jnp.float32)
+    return jnp.min(jnp.where(arch.patch.switch, ratios, 1.0))
+
+
+def make_planned_search_step(space: SearchSpace, mcfg: ModelCfg,
+                             scfg: SearchConfig,
+                             tx: optax.GradientTransformation, *,
+                             phase: str, steps_per_epoch: int,
+                             param_mask=None, alpha_mask=None,
+                             teacher_apply: Optional[Callable] = None,
+                             compute_dtype=jnp.bfloat16,
+                             donate: bool = False,
+                             use_randaug: bool = True, re_prob: float = 0.25,
+                             crop_scale=(0.08, 1.0), hflip: bool = True,
+                             fused_model: bool = False):
+    """Single-dispatch-per-step epoch driver for the device-resident cache.
+
+    The classic loop pays ~10 host->relay round-trips per iteration (rng
+    split, w_p anneal program, keep-ratio upload, cache gather, label
+    upload, batch reshape/placement, execute, metric handling); on a
+    relay-attached TPU host that chatter costs more than the step itself
+    (BENCH.md "Device-resident dataset cache": 752 vs 1505 img/s). Here
+    the WHOLE epoch plan lives on device:
+
+      step(state, cache, idx_plan, labels_plan, epoch_key, epoch_base,
+           epoch) -> (state, packed_metrics)
+
+    where idx_plan/labels_plan are (steps_per_epoch, A*mb) device arrays
+    uploaded once per epoch, and everything per-iteration — the iteration
+    index (from state.step), the w_p / PMIM keep-ratio anneals (reference
+    engine.py:102-117), the augment rng (fold_in(epoch_key, it)), the
+    uint8 cache gather, the device-side train transform, and the metric
+    packing (one f32 vector instead of K scalars) — happens inside the
+    one jitted program. Every argument is device-resident, so each
+    iteration is exactly one execute dispatch.
+    """
+    inner = make_search_step(
+        space, mcfg, scfg, tx, phase=phase, param_mask=param_mask,
+        alpha_mask=alpha_mask, teacher_apply=teacher_apply,
+        compute_dtype=compute_dtype, donate=False, fused_augment=True,
+        use_randaug=use_randaug, re_prob=re_prob, crop_scale=crop_scale,
+        hflip=hflip, fused_model=fused_model)
+    keys = METRIC_KEYS_SEARCH if phase == "search" \
+        else METRIC_KEYS_POSTSEARCH
+    A = scfg.accum_iter
+    micro_per_epoch = steps_per_epoch * A
+    warm = scfg.schedule.warmup_epochs
+
+    def step(state: TrainState, cache, idx_plan, labels_plan, epoch_key,
+             epoch_base, epoch):
+        it = (state.step - epoch_base) // A
+        frac_epoch = (epoch.astype(jnp.float32)
+                      + (it * A).astype(jnp.float32)
+                      / max(micro_per_epoch, 1))
+        w_val = w_p_schedule(frac_epoch, warm)
+        upd = lambda m: m.replace(w_p=jnp.where(m.finished, m.w_p, w_val))
+        arch = state.arch
+        arch = arch.replace(
+            embed=upd(arch.embed),
+            blocks=tuple(b.replace(attn=upd(b.attn), mlp=upd(b.mlp))
+                         for b in arch.blocks),
+            stage_embeds=tuple(upd(d) for d in arch.stage_embeds))
+        keep = keep_ratio_schedule(frac_epoch, scfg, arch, space)
+
+        idx = jax.lax.dynamic_index_in_dim(idx_plan, it, keepdims=False)
+        lbls = jax.lax.dynamic_index_in_dim(labels_plan, it,
+                                            keepdims=False)
+        mb = idx.shape[0] // A
+        imgs = jnp.take(cache, idx, axis=0)
+        imgs = imgs.reshape(A, mb, *imgs.shape[1:])
+        lbls = lbls.reshape(A, mb)
+        sub = jax.random.fold_in(epoch_key, it)
+
+        new_state, metrics = inner(state.replace(arch=arch), imgs, lbls,
+                                   sub, keep)
+        # in-jit w_p is a pure function of frac_epoch; keep the classic
+        # invariant that state.arch carries the LAST applied value so
+        # compress/eval/checkpoint see it (host loop re-syncs at epoch end)
+        packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
+        return new_state, packed
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ()), keys
 
 
 def _zero_decoder_updates(param_updates):

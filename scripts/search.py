@@ -138,6 +138,14 @@ def get_args_parser():
                    help="run the train transform inside the train-step jit")
     p.add_argument("--no-fused-augment", action="store_false",
                    dest="fused_augment")
+    p.add_argument("--planned-epoch", action="store_true", default=False,
+                   help="with --cache-device: upload the epoch index plan "
+                        "once and run ONE dispatch per step (in-jit "
+                        "w_p/keep anneals, rng, gather, augment, packed "
+                        "metrics) — cuts per-step host round-trips on "
+                        "relay-attached hosts")
+    p.add_argument("--no-planned-epoch", action="store_false",
+                   dest="planned_epoch")
     p.add_argument("--cache-device", action="store_true",
                    help="decode the dataset once and keep the uint8 staging "
                         "set in device HBM; epochs gather batches on device "
@@ -393,7 +401,26 @@ def main(args):
                                 fused_model=bool(
                                     jax.device_get(state.arch.fused)))
 
+    planned_active = (args.planned_epoch and cache_train is not None
+                      and world == 1 and args.fused_augment)
+
+    def build_planned_step(phase):
+        from ofb_tpu.core.steps import make_planned_search_step
+        return make_planned_search_step(
+            space, cfg, scfg, tx, phase=phase,
+            steps_per_epoch=steps_per_epoch, param_mask=pmask,
+            alpha_mask=amask, teacher_apply=teacher_apply,
+            compute_dtype=compute, donate=False,
+            use_randaug=bool(args.aa), re_prob=args.reprob,
+            crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip,
+            fused_model=bool(jax.device_get(state.arch.fused)))
+
     step_fn = build_step("postsearch" if finish_search else "search")
+    planned_fn = planned_keys = None
+    if planned_active:
+        planned_fn, planned_keys = build_planned_step(
+            "postsearch" if finish_search else "search")
+        master_print("planned-epoch loop: one dispatch per step")
     eval_step = make_eval_step(space, cfg, compute_dtype=compute)
 
     def make_val_feed():
@@ -425,12 +452,37 @@ def main(args):
             # post-search transition (reference search.py:641-657)
             first_finish = False
             step_fn = build_step("postsearch")
+            if planned_active:
+                planned_fn, planned_keys = build_planned_step("postsearch")
             max_soft_acc = 0.0
             master_print("== finish_search: PMIM off, decoder frozen, "
                          "mixup/cutmix on, soft-target CE ==")
 
         rng, feed_rng, epoch_rng = jax.random.split(rng, 3)
-        if cache_train is not None:
+        if planned_active:
+            from ofb_tpu.core.engine import search_one_epoch_planned
+            from ofb_tpu.data.samplers import (distributed_indices,
+                                               epoch_batches, ra_indices)
+            n_cache = int(cache_train[0].shape[0])
+            if scfg.data.repeated_aug:
+                plan_idx = ra_indices(n_cache, epoch, rank, world,
+                                      seed=scfg.seed)
+            else:
+                plan_idx = distributed_indices(n_cache, epoch, rank, world,
+                                               shuffle=True, seed=scfg.seed)
+            batches = epoch_batches(
+                plan_idx, scfg.data.batch_size * scfg.accum_iter,
+                drop_last=True)
+            was_finished = finish_search
+            state, train_stats, finish_search, pruned = \
+                search_one_epoch_planned(
+                    state, planned_fn, planned_keys, cache_train[0],
+                    cache_train[1], batches, epoch=epoch, scfg=scfg,
+                    space=space, rng=feed_rng, finish_search=finish_search)
+            execute_prune = pruned
+            if finish_search and not was_finished:
+                first_finish = True
+        elif cache_train is not None:
             feed = device_cache_feed(
                 *cache_train, rng=feed_rng, epoch=epoch, rank=rank,
                 world=world,
@@ -456,14 +508,15 @@ def main(args):
                                hflip=args.hflip,
                                batch_sharding=bsh, raw=args.fused_augment)
 
-        was_finished = finish_search
-        state, train_stats, finish_search, pruned = search_one_epoch(
-            state, step_fn, feed, epoch=epoch,
-            steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
-            rng=epoch_rng, finish_search=finish_search)
-        execute_prune = pruned
-        if finish_search and not was_finished:
-            first_finish = True
+        if not planned_active:
+            was_finished = finish_search
+            state, train_stats, finish_search, pruned = search_one_epoch(
+                state, step_fn, feed, epoch=epoch,
+                steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
+                rng=epoch_rng, finish_search=finish_search)
+            execute_prune = pruned
+            if finish_search and not was_finished:
+                first_finish = True
 
         # checkpoints (reference search.py:672-722)
         if scfg.output_dir:

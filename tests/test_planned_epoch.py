@@ -1,0 +1,136 @@
+"""Planned-epoch step/loop: one-dispatch-per-iteration cache-feed path.
+
+The planned step (steps.make_planned_search_step) moves the per-iteration
+host work of the classic loop — w_p anneal (reference engine.py:110-117),
+PMIM keep-ratio anneal (engine.py:102-109), rng split, cache gather,
+label upload, metric unpacking — inside the jitted program. These tests
+prove it computes EXACTLY what the classic step computes when driven with
+the same schedule values and keys, and that the epoch loop around it
+keeps the ArchState.w_p invariant (host state == last in-jit value).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ofb_tpu.config import OptimFamilyConfig, ScheduleConfig, SearchConfig
+from ofb_tpu.core.compress import sync_w_p
+from ofb_tpu.core.engine import search_one_epoch_planned
+from ofb_tpu.core.optim import build_search_optimizer
+from ofb_tpu.core.steps import (TrainState, keep_ratio_schedule,
+                                make_planned_search_step, make_search_step,
+                                w_p_schedule)
+from ofb_tpu.data.samplers import epoch_batches
+from ofb_tpu.models.registry import ModelBundle
+from ofb_tpu.models.search_space import SearchSpace
+from ofb_tpu.models.vit import ModelCfg
+
+CFG = ModelCfg(img_size=16, patch_size=4, num_classes=4, embed_dim=32,
+               depth=1, num_heads=2, mlp_ratio=2.0)
+STAGING = 20          # cache staging resolution > out_size
+N, BS, STEPS = 32, 8, 4
+
+
+def _setup(warmup_epochs=2):
+    space = SearchSpace.build(CFG.embed_dim, CFG.depth, CFG.num_heads,
+                              CFG.hidden, CFG.num_patches, patch_search=True)
+    bundle = ModelBundle(name="t", cfg=CFG, kind="mim", space=space)
+    params, alphas, arch = bundle.init(jax.random.PRNGKey(0))
+    scfg = SearchConfig(
+        accum_iter=1, target_flops=0.0002,
+        schedule=ScheduleConfig(warmup_epochs=warmup_epochs),
+        optim_param=OptimFamilyConfig(lr=1e-3),
+        optim_decoder=OptimFamilyConfig(lr=1e-3),
+        optim_arch=OptimFamilyConfig(lr=1e-3, betas=(0.5, 0.999)),
+    ).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=1000, steps_per_epoch=STEPS)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    rng = np.random.default_rng(3)
+    cache = jnp.asarray(
+        rng.integers(0, 256, (N, STAGING, STAGING, 3)).astype(np.uint8))
+    labels = rng.integers(0, CFG.num_classes, (N,)).astype(np.int32)
+    batches = epoch_batches(np.arange(N), BS, drop_last=True)[:STEPS]
+    return space, scfg, tx, state, cache, labels, batches
+
+
+AUG = dict(use_randaug=False, re_prob=0.0, hflip=True)
+
+
+def test_planned_step_matches_manual_composition():
+    """planned step == sync_w_p + keep schedule + host gather + classic
+    fused-augment step, driven with identical fold_in keys."""
+    space, scfg, tx, state, cache, labels, batches = _setup()
+
+    pstep, keys = make_planned_search_step(
+        space, CFG, scfg, tx, phase="search", steps_per_epoch=STEPS,
+        compute_dtype=jnp.float32, donate=False, **AUG)
+    cstep = make_search_step(space, CFG, scfg, tx, phase="search",
+                             compute_dtype=jnp.float32, donate=False,
+                             fused_augment=True, **AUG)
+
+    idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
+    labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
+    key = jax.random.PRNGKey(11)
+    base = state.step
+    epoch_dev = jnp.asarray(0, jnp.int32)
+
+    p_state = state
+    packed_hist = []
+    for _ in range(STEPS):
+        p_state, packed = pstep(p_state, cache, idx_plan, labels_plan, key,
+                                base, epoch_dev)
+        packed_hist.append(packed)
+
+    m_state = state
+    warm = scfg.schedule.warmup_epochs
+    host_cache = np.asarray(cache)
+    for it in range(STEPS):
+        frac = it / STEPS
+        arch = sync_w_p(m_state.arch, frac, warm)
+        keep = keep_ratio_schedule(frac, scfg, arch, space)
+        b = batches[it]
+        imgs = jnp.asarray(host_cache[b][None])          # (A=1, mb, S, S, 3)
+        lbls = jnp.asarray(labels[b][None].astype(np.int32))
+        sub = jax.random.fold_in(key, it)
+        m_state, metrics = cstep(m_state.replace(arch=arch), imgs, lbls,
+                                 sub, jnp.asarray(keep))
+        packed = packed_hist[it]
+        for j, k in enumerate(keys):
+            np.testing.assert_allclose(float(packed[j]), float(metrics[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    for pa, ma in zip(jax.tree_util.tree_leaves(p_state.params),
+                      jax.tree_util.tree_leaves(m_state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                   rtol=1e-5, atol=1e-6)
+    for pa, ma in zip(jax.tree_util.tree_leaves(p_state.alphas),
+                      jax.tree_util.tree_leaves(m_state.alphas)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_planned_epoch_loop_runs_and_syncs_w_p():
+    """search_one_epoch_planned: finite stats, compress cadence fires, and
+    the epoch-final host ArchState.w_p equals the schedule value the next
+    in-jit step would use."""
+    space, scfg, tx, state, cache, labels, batches = _setup(warmup_epochs=2)
+    pstep, keys = make_planned_search_step(
+        space, CFG, scfg, tx, phase="search", steps_per_epoch=STEPS,
+        compute_dtype=jnp.float32, donate=False, **AUG)
+
+    state, stats, finish, pruned = search_one_epoch_planned(
+        state, pstep, keys, cache, labels, batches, epoch=0, scfg=scfg,
+        space=space, rng=jax.random.PRNGKey(5), finish_search=False,
+        log_every=2, print_fn=lambda *a, **k: None)
+
+    assert np.isfinite(stats["loss_total"])
+    assert stats["img_s"] > 0
+    want = float(w_p_schedule(1.0, scfg.schedule.warmup_epochs))
+    got = float(jax.device_get(state.arch.embed.w_p))
+    assert abs(got - want) < 1e-6
+    # counter advanced one epoch of micro-iterations
+    assert int(jax.device_get(state.step)) == STEPS * scfg.accum_iter
