@@ -239,6 +239,48 @@ def train_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable, *,
     return state, stats
 
 
+def train_one_epoch_planned(state: TrainState, step_fn: Callable, cache,
+                            labels: np.ndarray, batches, *, epoch: int,
+                            rng, log_every: int = 10,
+                            print_fn=master_print
+                            ) -> Tuple[TrainState, Dict[str, float]]:
+    """train_one_epoch over a `make_planned_train_step` step: the epoch
+    index plan is device-resident and each iteration is one execute
+    dispatch (see steps.make_planned_train_step)."""
+    import time as _time
+    logger = MetricLogger(print_fn=print_fn)
+    pending = []
+    t_epoch = _time.time()
+    steps_per_epoch = len(batches)
+
+    idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
+    labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
+    base = state.step
+
+    def flush():
+        for v in jax.device_get(pending):
+            logger.update(loss=float(v))
+            if not math.isfinite(float(v)):
+                print_fn(f"Loss is {float(v)}, stopping training")
+                sys.exit(1)
+        pending.clear()
+
+    for it in range(steps_per_epoch):
+        state, loss = step_fn(state, cache, idx_plan, labels_plan, rng,
+                              base)
+        pending.append(loss)
+        if it % log_every == 0 or it == steps_per_epoch - 1:
+            flush()
+            print_fn(f"Epoch [{epoch}] [{it}/{steps_per_epoch}] {logger}")
+
+    flush()
+    dt = _time.time() - t_epoch
+    stats = logger.averages()
+    stats["epoch_time_s"] = dt
+    stats["img_s"] = int(idx_plan.size) / max(dt, 1e-9)
+    return state, stats
+
+
 def _allsum_hosts(tot: Dict[str, float]) -> Dict[str, float]:
     """Sum per-host partial eval sums across all processes (the analog of
     SmoothedValue.synchronize_between_processes, reference utils.py:41-52).

@@ -339,14 +339,27 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
                     ema_decay: Optional[float] = None,
                     teacher_apply: Optional[Callable] = None,
                     distill=None, compute_dtype=jnp.bfloat16,
-                    donate: bool = True):
+                    donate: bool = True, fused_augment: bool = False,
+                    aug_use_randaug: bool = True, aug_re_prob: float = 0.25,
+                    aug_crop_scale=(0.08, 1.0), aug_hflip: bool = True):
     """Plain supervised train step for the finetune stage.
 
     donate=False is required on the axon TPU relay (buffer donation stalls
     it — CLAUDE.md); scripts/finetune.py passes False like search.py does.
+    fused_augment: images are raw uint8 staging batches and the train
+    transform runs inside the step program (one dispatch per batch).
     """
 
     def loss_fn(params, images, labels, rng):
+        if fused_augment:
+            # extra split keeps the classic (pre-augmented-feed) rng
+            # stream untouched when fused_augment is off
+            rng_aug, rng = jax.random.split(rng)
+            from ..ops.augment import train_augment_batch
+            images = train_augment_batch(
+                rng_aug, images, out_size=mcfg.img_size,
+                use_randaug=aug_use_randaug, re_prob=aug_re_prob,
+                crop_scale=aug_crop_scale, hflip=aug_hflip)
         rng_fwd, rng_mix = jax.random.split(rng)
         soft = False
         if mixup_cfg is not None and (mixup_cfg.mixup > 0 or
@@ -408,6 +421,51 @@ def make_train_step(mcfg: ModelCfg, tx: optax.GradientTransformation, *,
         new_state = state.replace(step=state.step + A, params=new_params,
                                   opt_state=new_opt, ema_params=ema)
         return new_state, {"loss": loss_sum / A}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_planned_train_step(mcfg: ModelCfg,
+                            tx: optax.GradientTransformation, *,
+                            num_classes: int, accum_iter: int = 1,
+                            mixup_cfg=None, smoothing: float = 0.1,
+                            ema_decay: Optional[float] = None,
+                            teacher_apply: Optional[Callable] = None,
+                            distill=None, compute_dtype=jnp.bfloat16,
+                            donate: bool = False,
+                            use_randaug: bool = True, re_prob: float = 0.25,
+                            crop_scale=(0.08, 1.0), hflip: bool = True):
+    """One-dispatch-per-iteration finetune step over the device cache —
+    the make_planned_search_step analog for the plain train loop: the
+    epoch index/label plan lives on device, and the cache gather, augment
+    rng (fold_in(epoch_key, it)), device-side train transform and loss
+    all run inside the single jitted program.
+
+      step(state, cache, idx_plan, labels_plan, epoch_key, epoch_base)
+        -> (state, loss scalar)
+    """
+    inner = make_train_step(
+        mcfg, tx, num_classes=num_classes, mixup_cfg=mixup_cfg,
+        smoothing=smoothing, ema_decay=ema_decay,
+        teacher_apply=teacher_apply, distill=distill,
+        compute_dtype=compute_dtype, donate=False, fused_augment=True,
+        aug_use_randaug=use_randaug, aug_re_prob=re_prob,
+        aug_crop_scale=crop_scale, aug_hflip=hflip)
+    A = accum_iter
+
+    def step(state: TrainState, cache, idx_plan, labels_plan, epoch_key,
+             epoch_base):
+        it = (state.step - epoch_base) // A
+        idx = jax.lax.dynamic_index_in_dim(idx_plan, it, keepdims=False)
+        lbls = jax.lax.dynamic_index_in_dim(labels_plan, it,
+                                            keepdims=False)
+        mb = idx.shape[0] // A
+        imgs = jnp.take(cache, idx, axis=0)
+        imgs = imgs.reshape(A, mb, *imgs.shape[1:])
+        lbls = lbls.reshape(A, mb)
+        sub = jax.random.fold_in(epoch_key, it)
+        new_state, metrics = inner(state, imgs, lbls, sub)
+        return new_state, metrics["loss"]
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -91,6 +91,11 @@ def get_args_parser():
                    help="keep the decoded uint8 staging set in device HBM "
                         "(see scripts/search.py --cache-device)")
     p.add_argument("--cache-device-max-gb", default=12.0, type=float)
+    p.add_argument("--planned-epoch", action="store_true", default=False,
+                   help="with --cache-device: one dispatch per step "
+                        "(see scripts/search.py --planned-epoch)")
+    p.add_argument("--no-planned-epoch", action="store_false",
+                   dest="planned_epoch")
     # compat no-ops (see search.py)
     p.add_argument("--use-amp", action="store_true", help="[compat] no-op")
     p.add_argument("--device", default="tpu", help="[compat] no-op")
@@ -283,12 +288,26 @@ def main(args):
             teacher_path=getattr(args, "teacher_path", ""),
             num_classes=nb_classes, mesh=mesh, compute_dtype=compute)
 
+    planned_active = (args.planned_epoch and cache_train is not None
+                      and world == 1)
     step_fn = make_train_step(cfg, tx, num_classes=nb_classes,
                               mixup_cfg=mix, smoothing=args.smoothing,
                               ema_decay=args.model_ema_decay
                               if args.model_ema else None,
                               teacher_apply=teacher_apply, distill=distill,
                               compute_dtype=compute, donate=False)
+    planned_fn = None
+    if planned_active:
+        from ofb_tpu.core.steps import make_planned_train_step
+        planned_fn = make_planned_train_step(
+            cfg, tx, num_classes=nb_classes, accum_iter=args.accum_iter,
+            mixup_cfg=mix, smoothing=args.smoothing,
+            ema_decay=args.model_ema_decay if args.model_ema else None,
+            teacher_apply=teacher_apply, distill=distill,
+            compute_dtype=compute, donate=False,
+            use_randaug=bool(args.aa), re_prob=args.reprob,
+            crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip)
+        master_print("planned-epoch loop: one dispatch per step")
     eval_step = make_eval_step_dense(cfg, compute_dtype=compute)
     logger = RunLogger(args.output_dir)
     bsh = batch_sharding(mesh, leading_accum=True)
@@ -298,7 +317,24 @@ def main(args):
 
     for epoch in range(start_epoch, args.epochs):
         rng, frng, erng = jax.random.split(rng, 3)
-        if cache_train is not None:
+        if planned_active:
+            from ofb_tpu.core.engine import train_one_epoch_planned
+            from ofb_tpu.data.samplers import (distributed_indices,
+                                               epoch_batches, ra_indices)
+            n_cache = int(cache_train[0].shape[0])
+            if args.repeated_aug:
+                plan_idx = ra_indices(n_cache, epoch, rank, world,
+                                      seed=args.seed)
+            else:
+                plan_idx = distributed_indices(n_cache, epoch, rank, world,
+                                               shuffle=True, seed=args.seed)
+            batches = epoch_batches(plan_idx,
+                                    args.batch_size * args.accum_iter,
+                                    drop_last=True)
+            state, train_stats = train_one_epoch_planned(
+                state, planned_fn, cache_train[0], cache_train[1], batches,
+                epoch=epoch, rng=frng)
+        elif cache_train is not None:
             feed = device_cache_feed(
                 *cache_train, rng=frng, epoch=epoch, rank=rank, world=world,
                 batch_size=args.batch_size * args.accum_iter,
@@ -318,9 +354,10 @@ def main(args):
                                use_randaug=bool(args.aa), re_prob=args.reprob,
                                crop_scale=(args.min_crop_scale, 1.0),
                                hflip=args.hflip, batch_sharding=bsh)
-        state, train_stats = train_one_epoch(
-            state, step_fn, feed, epoch=epoch,
-            steps_per_epoch=steps_per_epoch, rng=erng)
+        if not planned_active:
+            state, train_stats = train_one_epoch(
+                state, step_fn, feed, epoch=epoch,
+                steps_per_epoch=steps_per_epoch, rng=erng)
 
         if args.output_dir:
             ckpt.save_checkpoint(

@@ -18,8 +18,9 @@ from ofb_tpu.core.compress import sync_w_p
 from ofb_tpu.core.engine import search_one_epoch_planned
 from ofb_tpu.core.optim import build_search_optimizer
 from ofb_tpu.core.steps import (TrainState, keep_ratio_schedule,
-                                make_planned_search_step, make_search_step,
-                                w_p_schedule)
+                                make_planned_search_step,
+                                make_planned_train_step, make_search_step,
+                                make_train_step, w_p_schedule)
 from ofb_tpu.data.samplers import epoch_batches
 from ofb_tpu.models.registry import ModelBundle
 from ofb_tpu.models.search_space import SearchSpace
@@ -134,3 +135,58 @@ def test_planned_epoch_loop_runs_and_syncs_w_p():
     assert abs(got - want) < 1e-6
     # counter advanced one epoch of micro-iterations
     assert int(jax.device_get(state.step)) == STEPS * scfg.accum_iter
+
+
+def test_planned_train_step_matches_manual():
+    """planned finetune step == host gather + classic fused-augment train
+    step with identical fold_in keys (the finetune-CLI analog)."""
+    import optax
+    from ofb_tpu.core.engine import train_one_epoch_planned
+    from ofb_tpu.models.vit import init_vit_params
+
+    params = init_vit_params(jax.random.PRNGKey(0), CFG)
+    tx = optax.adamw(1e-3)
+    state0 = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                        alphas=None, arch=None, opt_state=tx.init(params))
+    rng = np.random.default_rng(9)
+    cache = jnp.asarray(
+        rng.integers(0, 256, (N, STAGING, STAGING, 3)).astype(np.uint8))
+    labels = rng.integers(0, CFG.num_classes, (N,)).astype(np.int32)
+    batches = epoch_batches(np.arange(N), BS, drop_last=True)[:STEPS]
+
+    common = dict(num_classes=CFG.num_classes, mixup_cfg=None,
+                  smoothing=0.1, compute_dtype=jnp.float32, donate=False)
+    pstep = make_planned_train_step(CFG, tx, accum_iter=1,
+                                    use_randaug=False, re_prob=0.0,
+                                    hflip=True, **common)
+    cstep = make_train_step(CFG, tx, fused_augment=True,
+                            aug_use_randaug=False, aug_re_prob=0.0,
+                            aug_hflip=True, **common)
+
+    key = jax.random.PRNGKey(21)
+    idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
+    labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
+    p_state = state0
+    for _ in range(STEPS):
+        p_state, _loss = pstep(p_state, cache, idx_plan, labels_plan, key,
+                               state0.step)
+
+    m_state = state0
+    host_cache = np.asarray(cache)
+    for it in range(STEPS):
+        b = batches[it]
+        imgs = jnp.asarray(host_cache[b][None])
+        lbls = jnp.asarray(labels[b][None].astype(np.int32))
+        m_state, _ = cstep(m_state, imgs, lbls, jax.random.fold_in(key, it))
+
+    for pa, ma in zip(jax.tree_util.tree_leaves(p_state.params),
+                      jax.tree_util.tree_leaves(m_state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and the epoch loop drives it end to end
+    state, stats = train_one_epoch_planned(
+        state0, pstep, cache, labels, batches, epoch=0,
+        rng=jax.random.PRNGKey(2), log_every=2,
+        print_fn=lambda *a, **k: None)
+    assert np.isfinite(stats["loss"]) and stats["img_s"] > 0
