@@ -137,6 +137,26 @@ def test_planned_epoch_loop_runs_and_syncs_w_p():
     assert int(jax.device_get(state.step)) == STEPS * scfg.accum_iter
 
 
+def test_planned_loop_nan_halts():
+    """The planned loop's packed-metric NaN guard must abort like the
+    classic loop (reference engine.py:148-150). uint8 cache inputs cannot
+    carry a NaN, so poison a weight instead."""
+    import pytest
+    space, scfg, tx, state, cache, labels, batches = _setup()
+    pstep, keys = make_planned_search_step(
+        space, CFG, scfg, tx, phase="search", steps_per_epoch=STEPS,
+        compute_dtype=jnp.float32, donate=False, **AUG)
+    poisoned = jax.tree_util.tree_map(lambda x: x, state.params)
+    poisoned["cls_token"] = state.params["cls_token"] * jnp.nan
+    state = state.replace(params=poisoned)
+    with pytest.raises(SystemExit) as ei:
+        search_one_epoch_planned(
+            state, pstep, keys, cache, labels, batches, epoch=0, scfg=scfg,
+            space=space, rng=jax.random.PRNGKey(5), finish_search=True,
+            log_every=2, print_fn=lambda *a, **k: None)
+    assert ei.value.code == 1
+
+
 def test_planned_train_step_matches_manual():
     """planned finetune step == host gather + classic fused-augment train
     step with identical fold_in keys (the finetune-CLI analog)."""
