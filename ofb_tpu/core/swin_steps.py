@@ -46,13 +46,27 @@ def make_swin_search_step(space: SearchSpace, cfg: SwinCfg,
                           tx: optax.GradientTransformation, *,
                           phase: str = "search",
                           teacher_apply: Optional[Callable] = None,
-                          compute_dtype=jnp.bfloat16, donate: bool = False):
+                          compute_dtype=jnp.bfloat16, donate: bool = False,
+                          fused_augment: bool = False,
+                          aug_use_randaug: bool = True,
+                          aug_re_prob: float = 0.25,
+                          aug_crop_scale=(0.08, 1.0),
+                          aug_hflip: bool = True):
     """step(state, images (A,mb,H,W,3), labels (A,mb), rng) ->
-    (state, metrics)."""
+    (state, metrics). fused_augment: images are raw uint8 staging batches
+    and the train transform runs inside the step program."""
     assert phase in ("search", "postsearch")
     dcfg = scfg.distillation
 
     def loss_fn(params, alphas, arch, images, labels, rng):
+        if fused_augment:
+            # extra split keeps the classic rng stream untouched when off
+            rng_aug, rng = jax.random.split(rng)
+            from ..ops.augment import train_augment_batch
+            images = train_augment_batch(
+                rng_aug, images, out_size=cfg.img_size,
+                use_randaug=aug_use_randaug, re_prob=aug_re_prob,
+                crop_scale=aug_crop_scale, hflip=aug_hflip)
         rng_fwd, rng_mix = jax.random.split(rng)
         soft = False
         if phase == "postsearch":
@@ -204,3 +218,68 @@ def make_swin_eval_step_dense(cfg: SwinCfg, *, compute_dtype=jnp.bfloat16):
         return _cls_metrics(logits, labels)
 
     return step
+
+
+SWIN_METRIC_KEYS_SEARCH = ("loss_param", "loss_total", "loss_arch",
+                           "searched_gflops", "grad_norm")
+SWIN_METRIC_KEYS_POSTSEARCH = ("loss_param", "loss_total", "grad_norm")
+
+
+def make_planned_swin_search_step(space: SearchSpace, cfg: SwinCfg,
+                                  scfg: SearchConfig,
+                                  tx: optax.GradientTransformation, *,
+                                  phase: str, steps_per_epoch: int,
+                                  teacher_apply: Optional[Callable] = None,
+                                  compute_dtype=jnp.bfloat16,
+                                  donate: bool = False,
+                                  use_randaug: bool = True,
+                                  re_prob: float = 0.25,
+                                  crop_scale=(0.08, 1.0),
+                                  hflip: bool = True):
+    """One-dispatch-per-iteration Swin search step over the device cache —
+    the steps.make_planned_search_step analog (same signature, so
+    engine.search_one_epoch_planned drives it unchanged): in-jit w_p
+    anneal, uint8 cache gather, fold_in augment rng, packed f32 metrics.
+    Swin has no PMIM keep-ratio, so no keep schedule is needed."""
+    from .steps import w_p_schedule
+    inner = make_swin_search_step(
+        space, cfg, scfg, tx, phase=phase, teacher_apply=teacher_apply,
+        compute_dtype=compute_dtype, donate=False, fused_augment=True,
+        aug_use_randaug=use_randaug, aug_re_prob=re_prob,
+        aug_crop_scale=crop_scale, aug_hflip=hflip)
+    keys = SWIN_METRIC_KEYS_SEARCH if phase == "search" \
+        else SWIN_METRIC_KEYS_POSTSEARCH
+    A = scfg.accum_iter
+    micro_per_epoch = steps_per_epoch * A
+    warm = scfg.schedule.warmup_epochs
+
+    def step(state: TrainState, cache, idx_plan, labels_plan, epoch_key,
+             epoch_base, epoch):
+        it = (state.step - epoch_base) // A
+        frac_epoch = (epoch.astype(jnp.float32)
+                      + (it * A).astype(jnp.float32)
+                      / max(micro_per_epoch, 1))
+        w_val = w_p_schedule(frac_epoch, warm)
+        upd = lambda m: m.replace(w_p=jnp.where(m.finished, m.w_p, w_val))
+        arch = state.arch
+        arch = arch.replace(
+            embed=upd(arch.embed),
+            blocks=tuple(b.replace(attn=upd(b.attn), mlp=upd(b.mlp))
+                         for b in arch.blocks),
+            stage_embeds=tuple(upd(d) for d in arch.stage_embeds))
+
+        idx = jax.lax.dynamic_index_in_dim(idx_plan, it, keepdims=False)
+        lbls = jax.lax.dynamic_index_in_dim(labels_plan, it,
+                                            keepdims=False)
+        mb = idx.shape[0] // A
+        imgs = jnp.take(cache, idx, axis=0)
+        imgs = imgs.reshape(A, mb, *imgs.shape[1:])
+        lbls = lbls.reshape(A, mb)
+        sub = jax.random.fold_in(epoch_key, it)
+
+        new_state, metrics = inner(state.replace(arch=arch), imgs, lbls,
+                                   sub)
+        packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
+        return new_state, packed
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ()), keys

@@ -80,6 +80,11 @@ def get_args_parser():
                    help="keep the decoded uint8 staging set in device HBM "
                         "(see scripts/search.py --cache-device)")
     p.add_argument("--cache-device-max-gb", default=12.0, type=float)
+    p.add_argument("--planned-epoch", action="store_true", default=False,
+                   help="with --cache-device: one dispatch per step "
+                        "(see scripts/search.py --planned-epoch)")
+    p.add_argument("--no-planned-epoch", action="store_false",
+                   dest="planned_epoch")
     p.add_argument("--force-finish", action="store_true",
                    help="if the search has not converged by the last epoch, "
                         "force every module to its argmax cell (the "
@@ -232,6 +237,19 @@ def main(args):
                                   compute_dtype=compute, donate=False)
     pstep = make_swin_search_step(space, cfg, scfg, tx, phase="postsearch",
                                   compute_dtype=compute, donate=False)
+    planned_active = (args.planned_epoch and cache_train is not None
+                      and world == 1)
+    if planned_active:
+        from ofb_tpu.core.swin_steps import make_planned_swin_search_step
+        _pl = dict(steps_per_epoch=steps_per_epoch, compute_dtype=compute,
+                   donate=False, use_randaug=bool(args.aa),
+                   re_prob=args.reprob,
+                   crop_scale=(args.min_crop_scale, 1.0), hflip=args.hflip)
+        sstep_pl = make_planned_swin_search_step(space, cfg, scfg, tx,
+                                                 phase="search", **_pl)
+        pstep_pl = make_planned_swin_search_step(space, cfg, scfg, tx,
+                                                 phase="postsearch", **_pl)
+        master_print("planned-epoch loop: one dispatch per step")
     eval_step = make_swin_eval_step(space, cfg, compute_dtype=compute)
     logger = RunLogger(scfg.output_dir)
     bsh = batch_sharding(mesh, leading_accum=True)
@@ -274,16 +292,35 @@ def main(args):
     t0 = time.time()
 
     for epoch in range(start_epoch, scfg.epochs):
-        step_fn = pstep if finish_search else sstep
-        wrapped = lambda s, i, l, r, k, _f=step_fn: _f(s, i, l, r)
         rng, frng, erng = jax.random.split(rng, 3)
-        feed = train_feed(epoch, frng,
-                          batch=args.batch_size * scfg.accum_iter,
-                          ra=args.repeated_aug, accum=scfg.accum_iter)
-        state, stats, finish_search, pruned = search_one_epoch(
-            state, wrapped, feed, epoch=epoch,
-            steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
-            rng=erng, finish_search=finish_search)
+        if planned_active:
+            from ofb_tpu.core.engine import search_one_epoch_planned
+            from ofb_tpu.data.samplers import (distributed_indices,
+                                               epoch_batches, ra_indices)
+            pfn, pkeys = (pstep_pl if finish_search else sstep_pl)
+            n_cache = int(cache_train[0].shape[0])
+            if args.repeated_aug:
+                plan_idx = ra_indices(n_cache, epoch, rank, world,
+                                      seed=scfg.seed)
+            else:
+                plan_idx = distributed_indices(n_cache, epoch, rank, world,
+                                               shuffle=True, seed=scfg.seed)
+            batches = epoch_batches(
+                plan_idx, args.batch_size * scfg.accum_iter, drop_last=True)
+            state, stats, finish_search, pruned = search_one_epoch_planned(
+                state, pfn, pkeys, cache_train[0], cache_train[1], batches,
+                epoch=epoch, scfg=scfg, space=space, rng=frng,
+                finish_search=finish_search)
+        else:
+            step_fn = pstep if finish_search else sstep
+            wrapped = lambda s, i, l, r, k, _f=step_fn: _f(s, i, l, r)
+            feed = train_feed(epoch, frng,
+                              batch=args.batch_size * scfg.accum_iter,
+                              ra=args.repeated_aug, accum=scfg.accum_iter)
+            state, stats, finish_search, pruned = search_one_epoch(
+                state, wrapped, feed, epoch=epoch,
+                steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
+                rng=erng, finish_search=finish_search)
 
         if scfg.output_dir:
             ckpt.save_checkpoint(

@@ -157,6 +157,74 @@ def test_planned_loop_nan_halts():
     assert ei.value.code == 1
 
 
+def test_planned_swin_step_matches_manual():
+    """planned Swin search step == sync_w_p + host gather + classic
+    fused-augment Swin step with identical fold_in keys (driven through
+    the shared search_one_epoch_planned loop contract)."""
+    from ofb_tpu.core.swin_steps import (make_planned_swin_search_step,
+                                         make_swin_search_step)
+    from ofb_tpu.models.swin import SwinCfg
+    from ofb_tpu.models.swin_search import build_swin_space, init_swin_search
+
+    cfg = SwinCfg(img_size=32, patch_size=2, num_classes=10, embed_dim=24,
+                  depths=(1, 1), num_heads=(2, 4), window=4, mlp_ratio=2.0,
+                  drop_path_rate=0.0)
+    space = build_swin_space(cfg)
+    params, alphas, arch = init_swin_search(jax.random.PRNGKey(0), cfg,
+                                            space)
+    scfg = SearchConfig(
+        accum_iter=1, target_flops=0.001,
+        schedule=ScheduleConfig(warmup_epochs=2),
+        optim_param=OptimFamilyConfig(lr=1e-3),
+        optim_decoder=OptimFamilyConfig(lr=1e-3),
+        optim_arch=OptimFamilyConfig(lr=1e-3, betas=(0.5, 0.999)),
+    ).resolve(1)
+    tx, _ = build_search_optimizer(
+        scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
+        total_steps=1000, steps_per_epoch=STEPS)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       alphas=alphas, arch=arch,
+                       opt_state=tx.init((params, alphas)))
+    rng = np.random.default_rng(5)
+    cache = jnp.asarray(
+        rng.integers(0, 256, (N, 36, 36, 3)).astype(np.uint8))
+    labels = rng.integers(0, cfg.num_classes, (N,)).astype(np.int32)
+    batches = epoch_batches(np.arange(N), BS, drop_last=True)[:STEPS]
+
+    pstep, keys = make_planned_swin_search_step(
+        space, cfg, scfg, tx, phase="search", steps_per_epoch=STEPS,
+        compute_dtype=jnp.float32, donate=False, **AUG)
+    cstep = make_swin_search_step(space, cfg, scfg, tx, phase="search",
+                                  compute_dtype=jnp.float32, donate=False,
+                                  fused_augment=True,
+                                  aug_use_randaug=False, aug_re_prob=0.0,
+                                  aug_hflip=True)
+
+    idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
+    labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
+    key = jax.random.PRNGKey(13)
+    p_state = state
+    for _ in range(STEPS):
+        p_state, _ = pstep(p_state, cache, idx_plan, labels_plan, key,
+                           state.step, jnp.asarray(0, jnp.int32))
+
+    m_state = state
+    host_cache = np.asarray(cache)
+    for it in range(STEPS):
+        arch_s = sync_w_p(m_state.arch, it / STEPS,
+                          scfg.schedule.warmup_epochs)
+        b = batches[it]
+        imgs = jnp.asarray(host_cache[b][None])
+        lbls = jnp.asarray(labels[b][None].astype(np.int32))
+        m_state, _ = cstep(m_state.replace(arch=arch_s), imgs, lbls,
+                           jax.random.fold_in(key, it))
+
+    for pa, ma in zip(jax.tree_util.tree_leaves(p_state.params),
+                      jax.tree_util.tree_leaves(m_state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_planned_train_step_matches_manual():
     """planned finetune step == host gather + classic fused-augment train
     step with identical fold_in keys (the finetune-CLI analog)."""
