@@ -55,6 +55,21 @@ def main():
     from scripts.ladder import count_params
 
     rows = []
+    # dense comparator: same finetune recipe from a fresh dense init
+    # (after_ladder queue writes it to <root>/dense_ft)
+    dense_best = os.path.join(args.root, "dense_ft", "best")
+    if os.path.exists(os.path.join(dense_best, "meta.json")):
+        dmeta = ckpt.latest_meta(dense_best)
+        drow = {"target_frac": 1.0, "target_gflops": args.dense_gflops,
+                "acc1": dmeta.get("acc1")}
+        if "model_cfg" in dmeta:
+            dcfg = ckpt.model_cfg_from_meta(dmeta["model_cfg"], ModelCfg)
+            drow["embed_dim"] = dcfg.embed_dim
+            drow["gflops"] = dense_vit_gflops(dcfg)
+        drow["params"] = count_params(
+            ckpt.load_checkpoint_raw(dense_best)["params"])
+        rows.append(drow)
+        print(json.dumps(drow), flush=True)
     for tdir in sorted(glob.glob(os.path.join(args.root, "t*"))):
         frac = float(os.path.basename(tdir)[1:])
         row = {"target_frac": frac,
