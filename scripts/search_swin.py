@@ -443,16 +443,56 @@ def main(args):
                                   params=optax.apply_updates(st.params, upd),
                                   opt_state=no), {"loss": loss}
 
+            ft_planned = None
+            if planned_active:
+                # one-dispatch-per-step finetune over the device cache
+                # (steps.make_planned_train_step analog on the sliced
+                # Swin; driven by engine.train_one_epoch_planned)
+                from ofb_tpu.ops.augment import train_augment_batch
+
+                @jax.jit
+                def ft_planned(st, cache, idx_plan, labels_plan, epoch_key,
+                               epoch_base):
+                    it = st.step - epoch_base       # ft runs accum 1
+                    idx = jax.lax.dynamic_index_in_dim(idx_plan, it,
+                                                       keepdims=False)
+                    lbls = jax.lax.dynamic_index_in_dim(labels_plan, it,
+                                                        keepdims=False)
+                    imgs = jnp.take(cache, idx, axis=0)
+                    sub = jax.random.fold_in(epoch_key, it)
+                    rng_aug, rng_fwd = jax.random.split(sub)
+                    imgs = train_augment_batch(
+                        rng_aug, imgs, out_size=out_size,
+                        use_randaug=bool(args.aa), re_prob=args.reprob,
+                        crop_scale=(args.min_crop_scale, 1.0),
+                        hflip=args.hflip)
+                    fst, fm = ft_step(st, imgs[None], lbls[None], rng_fwd)
+                    return fst, fm["loss"]
+
             ft_best = 0.0
             ft_best_params = fstate.params
             frng = jax.random.PRNGKey(scfg.seed + 777)
             for fe in range(ft_epochs):
                 frng, a, b = jax.random.split(frng, 3)
-                ffeed = train_feed(fe, a, batch=args.batch_size, ra=False,
-                                   accum=1)
-                for images, labels in ffeed:     # (A=1, mb, H, W, 3)
-                    b, sub = jax.random.split(b)
-                    fstate, fm = ft_step(fstate, images, labels, sub)
+                if ft_planned is not None:
+                    from ofb_tpu.core.engine import train_one_epoch_planned
+                    from ofb_tpu.data.samplers import (distributed_indices,
+                                                       epoch_batches)
+                    n_cache = int(cache_train[0].shape[0])
+                    plan_idx = distributed_indices(
+                        n_cache, fe, rank, world, shuffle=True,
+                        seed=scfg.seed)
+                    batches = epoch_batches(plan_idx, args.batch_size,
+                                            drop_last=True)
+                    fstate, _ = train_one_epoch_planned(
+                        fstate, ft_planned, cache_train[0], cache_train[1],
+                        batches, epoch=fe, rng=a)
+                else:
+                    ffeed = train_feed(fe, a, batch=args.batch_size,
+                                       ra=False, accum=1)
+                    for images, labels in ffeed:     # (A=1, mb, H, W, 3)
+                        b, sub = jax.random.split(b)
+                        fstate, fm = ft_step(fstate, images, labels, sub)
                 if fe % max(args.eval_every, 1) == 0 or fe == ft_epochs - 1:
                     fstats = evaluate(dense_eval, val_feed(), fstate.params)
                     if fstats["acc1"] >= ft_best:
