@@ -118,6 +118,20 @@ def load_searched_model(finetune_dir: str, args, nb_classes: int):
     from ofb_tpu.models.search_space import SearchSpace
     from ofb_tpu.models.vit import ModelCfg
 
+    if not finetune_dir:
+        # from-scratch dense comparator: a fresh init of the plain
+        # registry model under the SAME finetune recipe (the ladder's
+        # dense row; the reference's baselines are the stock FB DeiT
+        # training runs this stands in for)
+        if args.tiny_test:
+            cfg = ModelCfg(img_size=32, patch_size=8,
+                           num_classes=nb_classes, embed_dim=32, depth=2,
+                           num_heads=2, mlp_ratio=2.0)
+        else:
+            cfg = create_model(args.model, num_classes=nb_classes).cfg
+        from ofb_tpu.models.vit import init_vit_params
+        return init_vit_params(jax.random.PRNGKey(args.seed), cfg), cfg
+
     meta = ckpt.latest_meta(finetune_dir)
     if meta is None:
         raise FileNotFoundError(f"no checkpoint at {finetune_dir}")

@@ -52,4 +52,17 @@ for FRAC in $TARGETS; do
       2>&1 | tee "$EXP/finetune.log"
 done
 
+# dense comparator: the SAME finetune recipe from a fresh dense init
+# (ladder_imnet_summary.py reads it from <root>/dense_ft/best)
+if [ ! -f "$EXP_ROOT/dense_ft/best/meta.json" ]; then
+  python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
+      --model deit_small_patch16_224_finetune \
+      --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
+      --cache-device --output_dir "$EXP_ROOT/dense_ft" \
+      2>&1 | tee "$EXP_ROOT/dense_ft.log"
+fi
+
+python scripts/ladder_imnet_summary.py --root "$EXP_ROOT" \
+    2>&1 | tee "$EXP_ROOT/summary.log"
+
 echo "=== ladder complete; per-target logs under $EXP_ROOT ==="

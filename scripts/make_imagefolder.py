@@ -23,9 +23,16 @@ import numpy as np
 
 
 def class_image(rs: np.random.RandomState, cls: int, n_classes: int,
-                size: int) -> np.ndarray:
+                size: int, noise: float = 0.08) -> np.ndarray:
     """Class-separable RGB pattern: hue from class id, stripes at a
-    class-dependent frequency/orientation, plus noise."""
+    class-dependent frequency/orientation, plus noise.
+
+    ``noise`` controls difficulty: 0.08 (default) saturates a DeiT-S
+    search run's val accuracy within ~20 epochs at 40 classes; 0.35 with
+    100 classes keeps top-1 an informative signal at reference cadence
+    (used by the registry-geometry ladder so accuracy-vs-FLOPs rungs can
+    actually separate).
+    """
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     freq = 2.0 + 10.0 * ((cls * 7) % n_classes) / n_classes
     theta = np.pi * ((cls * 13) % n_classes) / n_classes
@@ -35,7 +42,7 @@ def class_image(rs: np.random.RandomState, cls: int, n_classes: int,
     base = np.stack([0.5 + 0.35 * np.cos(hue) * wave,
                      0.5 + 0.35 * np.cos(hue + 2.1) * wave,
                      0.5 + 0.35 * np.cos(hue + 4.2) * wave], axis=-1)
-    img = base + rs.randn(size, size, 3).astype(np.float32) * 0.08
+    img = base + rs.randn(size, size, 3).astype(np.float32) * noise
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
@@ -48,6 +55,8 @@ def main():
     ap.add_argument("--min-size", type=int, default=180)
     ap.add_argument("--max-size", type=int, default=320)
     ap.add_argument("--quality", type=int, default=85)
+    ap.add_argument("--noise", type=float, default=0.08,
+                    help="pattern noise std (0-1 scale); higher = harder")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -62,7 +71,7 @@ def main():
             os.makedirs(cdir, exist_ok=True)
             for i in range(per):
                 size = int(rs.randint(args.min_size, args.max_size + 1))
-                arr = class_image(rs, c, args.classes, size)
+                arr = class_image(rs, c, args.classes, size, args.noise)
                 buf = io.BytesIO()
                 Image.fromarray(arr).save(buf, "JPEG", quality=args.quality)
                 with open(os.path.join(cdir, f"img_{i:05d}.jpg"), "wb") as f:
