@@ -20,7 +20,16 @@ FUSE_POINT=${FUSE_POINT:-50}
 BATCH=${BATCH:-256}
 FT_EPOCHS=${FT_EPOCHS:-60}
 DENSE_GFLOPS=4.600   # model_flops() of the dense deit_small supernet
-TARGETS=${TARGETS:-"0.40 0.65 0.85"}
+# Rungs straddle the ~0.44x-dense expected FLOPs of the uniform-alpha
+# init, spanning the reference ladder's A..D range (README.md:19-25:
+# 0.9-3.4 GFLOPs on tiny/small): 0.25 pulls hard down, 0.45 holds, 0.70
+# pulls up (keep more).
+TARGETS=${TARGETS:-"0.25 0.45 0.70"}
+# w_flops 5 (the reference default) is too weak at this step count: the
+# partial round-3 run drifted AWAY from target (2.02 -> 2.08 GFLOPs over
+# 1.8k steps vs target 1.84) because the entropy/variance terms dominate.
+# 25 is the value the digits ladder converged with.
+W_FLOPS=${W_FLOPS:-25}
 cd "$(dirname "$0")/.."
 mkdir -p "$EXP_ROOT"
 
@@ -33,14 +42,14 @@ for FRAC in $TARGETS; do
   # stage 1: search to the fuse point (reference run_exp.sh:15)
   python scripts/search.py --data-path "$DATA" --data-set IMNET \
       --model "$MODEL" --target_flops "$TGT" \
-      --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" \
+      --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
       --accum-iter 1 --cache-device --output_dir "$EXP" \
       2>&1 | tee "$EXP/search1.log"
 
   # stage 2: resume for the remaining epochs (reference run_exp.sh:17)
   python scripts/search.py --data-path "$DATA" --data-set IMNET \
       --model "$MODEL" --target_flops "$TGT" \
-      --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" \
+      --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
       --accum-iter 1 --cache-device --output_dir "$EXP" \
       --resume --checkpoint "$EXP/running_ckpt" \
       2>&1 | tee "$EXP/search2.log"
