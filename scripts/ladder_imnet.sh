@@ -43,21 +43,21 @@ for FRAC in $TARGETS; do
   python scripts/search.py --data-path "$DATA" --data-set IMNET \
       --model "$MODEL" --target_flops "$TGT" \
       --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
-      --accum-iter 1 --cache-device --output_dir "$EXP" \
+      --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
       2>&1 | tee "$EXP/search1.log"
 
   # stage 2: resume for the remaining epochs (reference run_exp.sh:17)
   python scripts/search.py --data-path "$DATA" --data-set IMNET \
       --model "$MODEL" --target_flops "$TGT" \
       --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
-      --accum-iter 1 --cache-device --output_dir "$EXP" \
+      --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
       --resume --checkpoint "$EXP/running_ckpt" \
       2>&1 | tee "$EXP/search2.log"
 
   # stage 3: export + finetune (reference run_exp.sh:22)
   python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
       --finetune "$EXP/best" --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
-      --cache-device --output_dir "$EXP/ft" \
+      --cache-device --planned-epoch --output_dir "$EXP/ft" \
       2>&1 | tee "$EXP/finetune.log"
 done
 
@@ -67,7 +67,7 @@ if [ ! -f "$EXP_ROOT/dense_ft/best/meta.json" ]; then
   python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
       --model deit_small_patch16_224_finetune \
       --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
-      --cache-device --output_dir "$EXP_ROOT/dense_ft" \
+      --cache-device --planned-epoch --output_dir "$EXP_ROOT/dense_ft" \
       2>&1 | tee "$EXP_ROOT/dense_ft.log"
 fi
 
