@@ -25,11 +25,12 @@ DENSE_GFLOPS=4.600   # model_flops() of the dense deit_small supernet
 # 0.9-3.4 GFLOPs on tiny/small): 0.25 pulls hard down, 0.45 holds, 0.70
 # pulls up (keep more).
 TARGETS=${TARGETS:-"0.25 0.45 0.70"}
-# w_flops 5 (the reference default) is too weak at this step count: the
-# partial round-3 run drifted AWAY from target (2.02 -> 2.08 GFLOPs over
-# 1.8k steps vs target 1.84) because the entropy/variance terms dominate.
-# 25 is the value the digits ladder converged with.
-W_FLOPS=${W_FLOPS:-25}
+# w_flops must be large enough that the FLOPs *selector* competes with
+# the variance-term *amplifier* at this step count (16x shorter than the
+# reference's 125k): measured alpha-grad l2 at init is 45 (variance) vs
+# 0.009 (flops), and 10-epoch probes at w=5 and w=25 drifted identically
+# AWAY from target. See BENCH.md "Why targets collapse to one attractor".
+W_FLOPS=${W_FLOPS:-2000}
 cd "$(dirname "$0")/.."
 mkdir -p "$EXP_ROOT"
 
