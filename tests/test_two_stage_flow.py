@@ -77,3 +77,32 @@ def test_two_stage_search_fuse_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "resumed from" in r2.stdout
     assert "Epoch [2]" in r2.stdout        # continued at the right epoch
+
+
+def test_finetune_from_scratch_dense_init():
+    """--finetune '' trains the plain registry model from a fresh init
+    (the ladder's dense comparator row — scripts/ladder_imnet.sh writes
+    it to <root>/dense_ft). The cfg must be the registry geometry and
+    the params a real init, not a restored checkpoint."""
+    import argparse
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.finetune import load_searched_model
+
+    args = argparse.Namespace(model="deit_tiny_patch16_224_finetune",
+                              tiny_test=False, seed=0)
+    params, cfg = load_searched_model("", args, nb_classes=17)
+    assert cfg.embed_dim == 192 and cfg.depth == 12
+    assert cfg.num_classes == 17
+    assert params["head"]["kernel"].shape == (192, 17)
+    # tiny-test geometry honored too
+    args2 = argparse.Namespace(model="ignored", tiny_test=True, seed=0)
+    p2, c2 = load_searched_model("", args2, nb_classes=5)
+    assert c2.embed_dim == 32 and c2.depth == 2
+    assert p2["head"]["kernel"].shape == (32, 5)
+    # deterministic in the seed
+    p3, _ = load_searched_model("", args, nb_classes=17)
+    assert float(jax.numpy.abs(
+        p3["head"]["kernel"] - params["head"]["kernel"]).max()) == 0.0
