@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def eval_model(best_dir: str, val_roots, batch_size: int, compute_dtype):
-    """Top-1 of the exported checkpoint at ``best_dir`` on each val root."""
+    """Top-1 of the exported checkpoint at ``best_dir`` on each val root.
+
+    Same geometry => same compiled program: the per-rung best/final pair
+    reuses one jit cache entry, so the second checkpoint costs eval time
+    only.
+    """
     import jax
 
     from ofb_tpu.config import DataConfig
@@ -87,14 +92,18 @@ def main():
     compute = jnp.bfloat16 if args.compute_dtype == "bfloat16" \
         else jnp.float32
 
+    # Under a saturated training val set, "best" snapshots the FIRST epoch
+    # to hit the ceiling (early weights); the final-epoch weights live in
+    # running_ckpt. Evaluate both so the hard-val columns compare
+    # fully-trained models, with the best-ckpt rows as the early-stop view.
     targets = []
-    dense_best = os.path.join(args.root, "dense_ft", "best")
-    if os.path.exists(os.path.join(dense_best, "meta.json")):
-        targets.append(("dense", dense_best))
-    for tdir in sorted(glob.glob(os.path.join(args.root, "t*"))):
-        best = os.path.join(tdir, "ft", "best")
-        if os.path.exists(os.path.join(best, "meta.json")):
-            targets.append((os.path.basename(tdir), best))
+    for name, ftdir in [("dense", os.path.join(args.root, "dense_ft"))] + [
+            (os.path.basename(t), os.path.join(t, "ft"))
+            for t in sorted(glob.glob(os.path.join(args.root, "t*")))]:
+        for kind, sub in (("best", "best"), ("final", "running_ckpt")):
+            d = os.path.join(ftdir, sub)
+            if os.path.exists(os.path.join(d, "meta.json")):
+                targets.append((f"{name}/{kind}", d))
 
     rows = []
     for name, best in targets:
