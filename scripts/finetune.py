@@ -27,7 +27,13 @@ def get_args_parser():
     p.add_argument("--model", default="deit_small_patch16_224_finetune")
     p.add_argument("--finetune", default="", type=str,
                    help="searched checkpoint dir (supernet) or exported "
-                        "dense checkpoint dir")
+                        "dense checkpoint dir; leave empty ONLY with "
+                        "--from-scratch to train the registry model from "
+                        "a fresh init (dense comparator)")
+    p.add_argument("--from-scratch", action="store_true",
+                   help="train the --model registry model from scratch "
+                        "under the same recipe (the ladder's dense "
+                        "comparator row)")
     p.add_argument("--input-size", default=224, type=int)
     p.add_argument("--drop", type=float, default=0.0)
     p.add_argument("--drop-path", type=float, default=0.1)
@@ -123,6 +129,14 @@ def load_searched_model(finetune_dir: str, args, nb_classes: int):
         # registry model under the SAME finetune recipe (the ladder's
         # dense row; the reference's baselines are the stock FB DeiT
         # training runs this stands in for)
+        banner = ("=" * 64 + "\n"
+                  "TRAINING DENSE MODEL FROM SCRATCH (no --finetune "
+                  "checkpoint)\n" + "=" * 64)
+        if not getattr(args, "from_scratch", False):
+            banner += ("\nNOTE: pass --from-scratch to make this explicit; "
+                       "an empty --finetune without it is usually a "
+                       "forgotten flag.")
+        print(banner, flush=True)
         if args.tiny_test:
             cfg = ModelCfg(img_size=32, patch_size=8,
                            num_classes=nb_classes, embed_dim=32, depth=2,
@@ -379,11 +393,12 @@ def main(args):
                 params=state.params, opt_state=state.opt_state,
                 ema_params=state.ema_params,
                 meta={"epoch": epoch, "exported": True,
+                      "from_scratch": not bool(args.finetune),
                       "model_cfg": _cfg_meta(cfg)})
 
         if epoch % args.eval_every == 0 or epoch == args.epochs - 1:
 
-            def run_eval(eval_params):
+            def run_eval(eval_params, header="Test:"):
                 if cache_val is not None:
                     vfeed = device_cache_feed(
                         *cache_val, rng=jax.random.PRNGKey(0), epoch=0,
@@ -399,15 +414,17 @@ def main(args):
                     vfeed = device_feed(vloader, rng=jax.random.PRNGKey(0),
                                         train=False, accum_iter=1,
                                         out_size=out_size)
-                return evaluate(eval_step, vfeed, eval_params)
+                return evaluate(eval_step, vfeed, eval_params, header=header)
 
             # evaluate raw AND EMA weights, keep the better (the DeiT
             # recipe tracks ModelEma through training and selects best-of;
             # reference utils.py:332-447, finetune.py:461-476)
-            test_stats = run_eval(state.params)
+            # labeled eval rows: two bare `Test:` lines with different
+            # numbers (raw vs EMA weights) are a log-forensics trap
+            test_stats = run_eval(state.params, header="Test[raw]:")
             candidates = [("raw", test_stats["acc1"])]
             if state.ema_params is not None:
-                ema_stats = run_eval(state.ema_params)
+                ema_stats = run_eval(state.ema_params, header="Test[ema]:")
                 candidates.append(("ema", ema_stats["acc1"]))
                 test_stats["ema_acc1"] = ema_stats["acc1"]
                 master_print(f"EMA accuracy: {ema_stats['acc1']:.2f}%")
@@ -427,6 +444,7 @@ def main(args):
                     params=win_params, ema_params=other_params,
                     meta={"epoch": epoch, "acc1": win_acc,
                           "eval_winner": win_kind,
+                          "from_scratch": not bool(args.finetune),
                           "exported": True, "model_cfg": _cfg_meta(cfg)})
             max_acc = max(max_acc, win_acc)
             master_print(f"Max accuracy: {max_acc:.2f}%")

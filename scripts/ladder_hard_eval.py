@@ -10,9 +10,14 @@ where model capacity actually shows (the reference's ladder uses real
 ImageNet-1k val for the same purpose, README.md:19-25; no real ImageNet
 exists on this machine).
 
-Each model is loaded and compiled ONCE and then evaluated on every val
-root (compiles dominate on the TPU relay — 3-6 min fresh — so the loop
-nesting is model-outer, dataset-inner).
+Eval steps are cached per model geometry in main(), so checkpoints that
+share a cfg (each rung's best/final pair, and dense best/final) share one
+compiled program — compiles dominate on the TPU relay (3-6 min fresh).
+
+For `final` (running_ckpt) targets BOTH the raw params and the EMA slot
+are evaluated and the max reported, mirroring the finetune loop's
+best-of-raw/EMA selection (scripts/finetune.py) — otherwise final rows
+would compare raw-only weights against the best rows' winner weights.
 
 Usage:
   python scripts/make_imagefolder.py --root /tmp/imf_hard_n060 \
@@ -26,6 +31,7 @@ Writes <root>/hard_eval.json and prints one table row per model.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import glob
 import json
 import os
@@ -34,31 +40,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def eval_model(best_dir: str, val_roots, batch_size: int, compute_dtype):
-    """Top-1 of the exported checkpoint at ``best_dir`` on each val root.
-
-    Same geometry => same compiled program: the per-rung best/final pair
-    reuses one jit cache entry, so the second checkpoint costs eval time
-    only.
-    """
+def eval_params_on(params, cfg, eval_step, val_roots, batch_size):
+    """Top-1 of one weight set on each val root."""
     import jax
 
     from ofb_tpu.config import DataConfig
-    from ofb_tpu.core import checkpoint as ckpt
     from ofb_tpu.core.engine import evaluate
-    from ofb_tpu.core.steps import make_eval_step_dense
     from ofb_tpu.data.datasets import build_dataset
     from ofb_tpu.data.pipeline import device_feed, make_epoch_loader
-    from ofb_tpu.models.vit import ModelCfg, init_vit_params
-
-    meta = ckpt.latest_meta(best_dir)
-    if meta is None or not meta.get("exported"):
-        raise SystemExit(f"{best_dir}: not an exported checkpoint")
-    cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
-    tpl = init_vit_params(jax.random.PRNGKey(0), cfg)
-    restored = ckpt.load_checkpoint(best_dir, params=tpl, ema_params=tpl)
-    params = restored.get("params")
-    step = make_eval_step_dense(cfg, compute_dtype=compute_dtype)
 
     accs = {}
     for vroot in val_roots:
@@ -70,11 +59,30 @@ def eval_model(best_dir: str, val_roots, batch_size: int, compute_dtype):
                                    repeated_aug=False, train=False)
         feed = device_feed(loader, rng=jax.random.PRNGKey(0), train=False,
                            accum_iter=1, out_size=cfg.img_size)
-        stats = evaluate(step, feed, params)
+        stats = evaluate(eval_step, feed, params)
         accs[vroot] = stats["acc1"]
-        print(f"  {best_dir} @ {vroot}: acc1={stats['acc1']:.2f}",
-              flush=True)
-    return accs, meta
+    return accs
+
+
+def load_target(best_dir: str):
+    """(params, ema_or_None, cfg, meta) for an exported checkpoint dir."""
+    import jax
+
+    from ofb_tpu.core import checkpoint as ckpt
+    from ofb_tpu.models.vit import ModelCfg, init_vit_params
+
+    meta = ckpt.latest_meta(best_dir)
+    if meta is None or not (meta.get("exported") or meta.get("from_scratch")):
+        raise SystemExit(f"{best_dir}: not an exported checkpoint")
+    cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
+    tpl = init_vit_params(jax.random.PRNGKey(0), cfg)
+    restored = ckpt.load_checkpoint(best_dir, params=tpl, ema_params=tpl)
+    params = restored.get("params")
+    if params is None:
+        raise SystemExit(f"{best_dir}: params part missing from checkpoint "
+                         "(params.msgpack absent — incomplete clone or "
+                         "gitignored blob?)")
+    return params, restored.get("ema"), cfg, meta
 
 
 def main():
@@ -89,6 +97,9 @@ def main():
     args = ap.parse_args()
 
     import jax.numpy as jnp
+
+    from ofb_tpu.core.steps import make_eval_step_dense
+
     compute = jnp.bfloat16 if args.compute_dtype == "bfloat16" \
         else jnp.float32
 
@@ -103,23 +114,54 @@ def main():
         for kind, sub in (("best", "best"), ("final", "running_ckpt")):
             d = os.path.join(ftdir, sub)
             if os.path.exists(os.path.join(d, "meta.json")):
-                targets.append((f"{name}/{kind}", d))
+                targets.append((f"{name}/{kind}", kind, d))
+
+    # one compiled eval program per unique geometry
+    step_cache = {}
+
+    def get_step(cfg):
+        key = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+        if key not in step_cache:
+            step_cache[key] = make_eval_step_dense(cfg, compute_dtype=compute)
+        return step_cache[key]
+
+    # record the probe configuration alongside the numbers (each val root's
+    # generator manifest if present, else just the path)
+    probe_cfg = {}
+    for vroot in args.val_roots:
+        man = os.path.join(vroot, "manifest.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                probe_cfg[vroot] = json.load(f)
+        else:
+            probe_cfg[vroot] = {"path": vroot}
 
     rows = []
-    for name, best in targets:
-        accs, meta = eval_model(best, args.val_roots, args.batch_size,
-                                compute)
+    for name, kind, best in targets:
+        params, ema, cfg, meta = load_target(best)
+        step = get_step(cfg)
+        accs = eval_params_on(params, cfg, step, args.val_roots,
+                              args.batch_size)
+        # `best` checkpoints already store the raw/EMA winner as params;
+        # `final` running_ckpts store raw params + the live EMA — evaluate
+        # both and keep the max, as the finetune eval loop would.
+        if kind == "final" and ema is not None:
+            ema_accs = eval_params_on(ema, cfg, step, args.val_roots,
+                                      args.batch_size)
+            accs = {k: max(accs[k], ema_accs[k]) for k in accs}
+        for vroot in args.val_roots:
+            print(f"  {name} @ {vroot}: acc1={accs[vroot]:.2f}", flush=True)
         rows.append({"name": name, "checkpoint": best, "acc1": accs,
                      "train_val_acc1": meta.get("acc1")})
 
     out = os.path.join(args.root, "hard_eval.json")
     with open(out, "w") as f:
-        json.dump(rows, f, indent=2)
+        json.dump({"probe_cfg": probe_cfg, "rows": rows}, f, indent=2)
 
     names = [os.path.basename(v) for v in args.val_roots]
-    print(f"{'model':>8} " + " ".join(f"{n:>16}" for n in names), flush=True)
+    print(f"{'model':>12} " + " ".join(f"{n:>16}" for n in names), flush=True)
     for r in rows:
-        print(f"{r['name']:>8} " + " ".join(
+        print(f"{r['name']:>12} " + " ".join(
             f"{r['acc1'][v]:>16.2f}" for v in args.val_roots), flush=True)
     print(f"wrote {out}", flush=True)
 

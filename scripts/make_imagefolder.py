@@ -78,6 +78,13 @@ def main():
                     f.write(buf.getvalue())
                 total += 1
         print(f"{split}: {args.classes * per} images", flush=True)
+    # self-describing probe/train set: ladder_hard_eval.py records this
+    # manifest next to the accuracy numbers it produces
+    import json
+    with open(os.path.join(args.root, "manifest.json"), "w") as f:
+        json.dump({k: getattr(args, k) for k in
+                   ("classes", "per_class", "val_per_class", "min_size",
+                    "max_size", "quality", "noise", "seed")}, f, indent=2)
     print(f"done: {total} JPEGs under {args.root}", flush=True)
 
 
