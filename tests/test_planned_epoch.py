@@ -278,3 +278,143 @@ def test_planned_train_step_matches_manual():
         rng=jax.random.PRNGKey(2), log_every=2,
         print_fn=lambda *a, **k: None)
     assert np.isfinite(stats["loss"]) and stats["img_s"] > 0
+
+
+def _manual_classic_epoch(m_state, epoch, key_e, cstep, cache_np, labels,
+                          batches, scfg, space):
+    """Reference composition of one planned epoch: host sync_w_p + keep
+    schedule + host gather + classic fused-augment step, with the SAME
+    compress cadence / boundary w_p syncs / epoch-end sync the planned
+    loop performs (engine.search_one_epoch_planned)."""
+    from ofb_tpu.core.compress import compress
+    steps = len(batches)
+    A = scfg.accum_iter
+    micro = steps * A
+    warm = scfg.schedule.warmup_epochs
+    compress_every = max(steps // scfg.compress_per_epoch, 1)
+    events = []
+    for it in range(steps):
+        frac = epoch + (it * A) / micro
+        arch = sync_w_p(m_state.arch, frac, warm)
+        keep = keep_ratio_schedule(frac, scfg, arch, space)
+        b = batches[it]
+        imgs = jnp.asarray(cache_np[b][None])
+        lbls = jnp.asarray(labels[b][None].astype(np.int32))
+        m_state, _ = cstep(m_state.replace(arch=arch), imgs, lbls,
+                           jax.random.fold_in(key_e, it), jnp.asarray(keep))
+        if (it + 1) % compress_every == 0:
+            frac_b = epoch + ((it + 1) * A) / micro
+            m_state = m_state.replace(
+                arch=sync_w_p(m_state.arch, frac_b, warm))
+            p, a, ar, o, rep = compress(
+                m_state.params, m_state.alphas, m_state.arch,
+                m_state.opt_state, space, scfg.compress_thresh)
+            m_state = m_state.replace(params=p, alphas=a, arch=ar,
+                                      opt_state=o)
+            events.extend(rep.events)
+    m_state = m_state.replace(arch=sync_w_p(m_state.arch, epoch + 1.0, warm))
+    return m_state, events
+
+
+def _arch_leaves(arch):
+    return jax.tree_util.tree_leaves(arch)
+
+
+def _kill_cell(state, module, cell):
+    """Push one alpha cell far below the kill threshold (deterministic
+    organic-style prune at the next compress boundary)."""
+    if module == "mlp0":
+        al = np.asarray(jax.device_get(state.alphas["blocks"][0]["mlp"]))
+        al = al.copy(); al.reshape(-1)[cell] = -8.0
+        blocks = list(state.alphas["blocks"])
+        blocks[0] = dict(blocks[0], mlp=jnp.asarray(al))
+        return state.replace(alphas=dict(state.alphas, blocks=blocks))
+    al = np.asarray(jax.device_get(state.alphas["embed"])).copy()
+    al.reshape(-1)[cell] = -8.0
+    return state.replace(alphas=dict(state.alphas, embed=jnp.asarray(al)))
+
+
+def test_planned_loop_equals_classic_composition_across_compress_and_resume(
+        tmp_path):
+    """Property (VERDICT r3 weak-5): over a MULTI-epoch run with compress
+    events at two different epochs, an odd compress cadence
+    (compress_every=1), and a checkpoint resume in the middle, the planned
+    epoch loop's ArchState stays BIT-IDENTICAL to the classic composition
+    and the params stay numerically equal. Catches silent w_p-mirror or
+    cadence divergence between the in-jit anneal and the host sync."""
+    from ofb_tpu.core import checkpoint as ckpt
+
+    space, scfg, tx, state0, cache, labels, batches = _setup(warmup_epochs=2)
+    # odd cadence: compress after EVERY step
+    import dataclasses
+    scfg = dataclasses.replace(scfg, compress_per_epoch=len(batches))
+
+    pstep, keys = make_planned_search_step(
+        space, CFG, scfg, tx, phase="search", steps_per_epoch=STEPS,
+        compute_dtype=jnp.float32, donate=False, **AUG)
+    cstep = make_search_step(space, CFG, scfg, tx, phase="search",
+                             compute_dtype=jnp.float32, donate=False,
+                             fused_augment=True, **AUG)
+
+    # crafted kill #1 at init: fires at epoch 0's first compress boundary
+    state0 = _kill_cell(state0, "mlp0", 0)
+    p_state = state0
+    m_state = state0
+    cache_np = np.asarray(cache)
+    events_p, events_m = [], []
+
+    for epoch in range(3):
+        key_e = jax.random.PRNGKey(100 + epoch)
+
+        if epoch == 2:
+            # resume-in-the-middle: round-trip the planned state through a
+            # checkpoint (what scripts/search.py --resume does between
+            # stages) and apply crafted kill #2 to both sides
+            d = str(tmp_path / "ck")
+            ckpt.save_checkpoint(d, params=p_state.params,
+                                 alphas=p_state.alphas, arch=p_state.arch,
+                                 opt_state=p_state.opt_state,
+                                 meta={"epoch": epoch})
+            restored = ckpt.load_checkpoint(
+                d, params=p_state.params, alphas=p_state.alphas,
+                arch=p_state.arch, opt_state=p_state.opt_state)
+            p_state = p_state.replace(params=restored["params"],
+                                      alphas=restored["alphas"],
+                                      arch=restored["arch"],
+                                      opt_state=restored["opt_state"])
+            p_state = _kill_cell(p_state, "embed", 1)
+            m_state = _kill_cell(m_state, "embed", 1)
+
+        printed = []
+        p_state, _stats, _fin, _pruned = search_one_epoch_planned(
+            p_state, pstep, keys, cache, labels, batches, epoch=epoch,
+            scfg=scfg, space=space, rng=key_e, finish_search=False,
+            log_every=2, print_fn=lambda *a, **k: printed.append(a))
+        events_p.extend(
+            a[0].strip() for a in printed
+            if a and isinstance(a[0], str) and "prune event" in a[0])
+
+        m_state, ev = _manual_classic_epoch(
+            m_state, epoch, key_e, cstep, cache_np, labels, batches, scfg,
+            space)
+        events_m.extend(e for e in ev if "prune event" in e)
+
+        # ArchState: bit-identical at every epoch boundary
+        for pl, ml in zip(_arch_leaves(p_state.arch),
+                          _arch_leaves(m_state.arch)):
+            np.testing.assert_array_equal(np.asarray(pl), np.asarray(ml))
+        # params/alphas: numerically equal (two different XLA programs)
+        for pa, ma in zip(jax.tree_util.tree_leaves(p_state.params),
+                          jax.tree_util.tree_leaves(m_state.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                       rtol=5e-4, atol=1e-5)
+        for pa, ma in zip(jax.tree_util.tree_leaves(p_state.alphas),
+                          jax.tree_util.tree_leaves(m_state.alphas)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(ma),
+                                       rtol=5e-4, atol=1e-5)
+
+    # both crafted kills fired, identically, on both sides
+    assert events_p == events_m
+    assert any("mlp" in e for e in events_p)
+    assert any("embed" in e for e in events_p)
+    assert int(jax.device_get(p_state.step)) == 3 * STEPS * scfg.accum_iter
