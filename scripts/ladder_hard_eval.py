@@ -65,8 +65,11 @@ def eval_params_on(params, cfg, eval_step, val_roots, batch_size):
 
 
 def load_target(best_dir: str):
-    """(params, ema_or_None, cfg, meta) for an exported checkpoint dir."""
+    """(params, ema_or_None, cfg, meta) for an exported checkpoint dir.
+    Handles both families: ViT (template restore) and Swin (template-free —
+    sliced per-block widths live in the param shapes)."""
     import jax
+    import jax.numpy as jnp
 
     from ofb_tpu.core import checkpoint as ckpt
     from ofb_tpu.models.vit import ModelCfg, init_vit_params
@@ -74,6 +77,17 @@ def load_target(best_dir: str):
     meta = ckpt.latest_meta(best_dir)
     if meta is None or not (meta.get("exported") or meta.get("from_scratch")):
         raise SystemExit(f"{best_dir}: not an exported checkpoint")
+    if meta.get("family") == "swin":
+        from ofb_tpu.models.swin import SwinCfg
+        cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], SwinCfg)
+        raw = ckpt.load_checkpoint_raw(best_dir)
+        if raw.get("params") is None:
+            raise SystemExit(f"{best_dir}: params part missing")
+        params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+        ema = raw.get("ema")
+        if ema is not None:
+            ema = jax.tree_util.tree_map(jnp.asarray, ema)
+        return params, ema, cfg, meta
     cfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
     tpl = init_vit_params(jax.random.PRNGKey(0), cfg)
     restored = ckpt.load_checkpoint(best_dir, params=tpl, ema_params=tpl)
@@ -94,6 +108,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=250)
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--family", default="vit", choices=["vit", "swin"],
+                    help="vit: ladder_imnet.sh layout (t*/ft/{best,"
+                         "running_ckpt} + dense_ft). swin: ladder_swin.sh "
+                         "layout (t*/{model_ft,model_exported})")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -108,13 +126,22 @@ def main():
     # running_ckpt. Evaluate both so the hard-val columns compare
     # fully-trained models, with the best-ckpt rows as the early-stop view.
     targets = []
-    for name, ftdir in [("dense", os.path.join(args.root, "dense_ft"))] + [
-            (os.path.basename(t), os.path.join(t, "ft"))
-            for t in sorted(glob.glob(os.path.join(args.root, "t*")))]:
-        for kind, sub in (("best", "best"), ("final", "running_ckpt")):
-            d = os.path.join(ftdir, sub)
-            if os.path.exists(os.path.join(d, "meta.json")):
-                targets.append((f"{name}/{kind}", kind, d))
+    if args.family == "swin":
+        for t in sorted(glob.glob(os.path.join(args.root, "t*"))):
+            name = os.path.basename(t)
+            for kind, sub in (("ft", "model_finetuned"),
+                              ("exported", "model_exported")):
+                d = os.path.join(t, sub)
+                if os.path.exists(os.path.join(d, "meta.json")):
+                    targets.append((f"{name}/{kind}", "best", d))
+    else:
+        for name, ftdir in [("dense", os.path.join(args.root, "dense_ft"))] \
+                + [(os.path.basename(t), os.path.join(t, "ft"))
+                   for t in sorted(glob.glob(os.path.join(args.root, "t*")))]:
+            for kind, sub in (("best", "best"), ("final", "running_ckpt")):
+                d = os.path.join(ftdir, sub)
+                if os.path.exists(os.path.join(d, "meta.json")):
+                    targets.append((f"{name}/{kind}", kind, d))
 
     # one compiled eval program per unique geometry
     step_cache = {}
@@ -122,7 +149,13 @@ def main():
     def get_step(cfg):
         key = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
         if key not in step_cache:
-            step_cache[key] = make_eval_step_dense(cfg, compute_dtype=compute)
+            if args.family == "swin":
+                from ofb_tpu.core.swin_steps import make_swin_eval_step_dense
+                step_cache[key] = make_swin_eval_step_dense(
+                    cfg, compute_dtype=compute)
+            else:
+                step_cache[key] = make_eval_step_dense(
+                    cfg, compute_dtype=compute)
         return step_cache[key]
 
     # record the probe configuration alongside the numbers (each val root's

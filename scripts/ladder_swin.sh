@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# OFB-Swin accuracy-vs-FLOPs ladder at registry geometry on the file-based
+# ImageFolder (the OFB-Swin-A/B/C analog — reference README.md:27-31),
+# through the all-in-one Swin search CLI (search -> force-finish export ->
+# sliced-subnet finetune in one invocation).
+#
+# Targets straddle the ~2.54 GFLOPs uniform-alpha expectation of the
+# swin_tiny supernet (dense = 4.52 GFLOPs) so each rung pulls a distinct
+# direction, mirroring scripts/ladder_imnet.sh.
+#
+# BLR_ARCH defaults to the measured organic-kill recipe: alpha drift is
+# linear in arch lr and the 20k-image cache gives 64x fewer arch steps per
+# epoch than the reference's ImageNet runs; 8x restores per-epoch search
+# dynamics (scripts/alpha_dynamics.py projection; BENCH.md round 4).
+#
+# Usage: DATA=/tmp/imfolder bash scripts/ladder_swin.sh runs/ladder_swin
+set -euo pipefail
+
+EXP_ROOT=${1:-runs/ladder_swin}
+DATA=${DATA:-/tmp/imfolder}
+MODEL=${MODEL:-swin_tiny_patch4_window7_224_mim}
+EPOCHS=${EPOCHS:-60}
+BATCH=${BATCH:-256}
+FT_EPOCHS=${FT_EPOCHS:-40}
+DENSE_GFLOPS=4.519   # swin_model_flops() dense term of the swin_tiny supernet
+TARGETS=${TARGETS:-"0.45 0.70"}
+W_FLOPS=${W_FLOPS:-2000}
+BLR_ARCH=${BLR_ARCH:-2e-3}
+cd "$(dirname "$0")/.."
+mkdir -p "$EXP_ROOT"
+
+for FRAC in $TARGETS; do
+  TGT=$(python -c "print(f'{$DENSE_GFLOPS * $FRAC:.3f}')")
+  EXP="$EXP_ROOT/t$FRAC"
+  mkdir -p "$EXP"
+  echo "=== swin target $FRAC x dense = $TGT GFLOPs -> $EXP ==="
+  python scripts/search_swin.py --data-path "$DATA" --data-set IMNET \
+      --model "$MODEL" --target_flops "$TGT" --w_flops "$W_FLOPS" \
+      --blr_arch "$BLR_ARCH" \
+      --epochs "$EPOCHS" --batch-size "$BATCH" --embed_search \
+      --cache-device --planned-epoch --force-finish \
+      --export-finetune-epochs "$FT_EPOCHS" \
+      --output_dir "$EXP" \
+      2>&1 | tee "$EXP/search.log"
+done
+
+# hard-val generalization rows for every exported+finetuned rung
+python scripts/ladder_hard_eval.py --root "$EXP_ROOT" --family swin \
+    2>&1 | tee "$EXP_ROOT/hard_eval.log" || true
+
+echo "=== swin ladder complete; per-target logs under $EXP_ROOT ==="
