@@ -9,6 +9,10 @@
 # dataset cache (--cache-device) so the relay staging ceiling does not
 # bound the run.
 #
+# RESUMABLE: each stage checks its output's checkpoint meta and is skipped
+# when already complete, or resumed from running_ckpt when partially done
+# (VERDICT r3 weak-1: a dead rung used to re-pay all its epochs).
+#
 # Usage: DATA=/tmp/imfolder bash scripts/ladder_imnet.sh runs/ladder_imnet
 set -euo pipefail
 
@@ -27,46 +31,80 @@ DENSE_GFLOPS=4.600   # model_flops() of the dense deit_small supernet
 TARGETS=${TARGETS:-"0.25 0.45 0.70"}
 # w_flops must be large enough that the FLOPs *selector* competes with
 # the variance-term *amplifier* at this step count (16x shorter than the
-# reference's 125k): measured alpha-grad l2 at init is 45 (variance) vs
-# 0.009 (flops), and 10-epoch probes at w=5 and w=25 drifted identically
-# AWAY from target. See BENCH.md "Why targets collapse to one attractor".
+# reference's 125k); see BENCH.md "Why targets collapse to one attractor".
 W_FLOPS=${W_FLOPS:-2000}
+# arch LR scaled to the subset step deficit so organic kills fire inside
+# the run (BENCH.md round 4 "Measured alpha-sharpening rate"); export
+# BLR_ARCH=2.5e-4 for the reference default.
+BLR_ARCH=${BLR_ARCH:-2e-3}
 cd "$(dirname "$0")/.."
 mkdir -p "$EXP_ROOT"
+
+# ckpt_epoch <dir>: epoch recorded in a checkpoint meta, or -1
+ckpt_epoch() {
+  python - "$1" <<'PY'
+import json, os, sys
+p = os.path.join(sys.argv[1], "meta.json")
+print(json.load(open(p)).get("epoch", -1) if os.path.exists(p) else -1)
+PY
+}
 
 for FRAC in $TARGETS; do
   TGT=$(python -c "print(f'{$DENSE_GFLOPS * $FRAC:.3f}')")
   EXP="$EXP_ROOT/t$FRAC"
   mkdir -p "$EXP"
   echo "=== target $FRAC x dense = $TGT GFLOPs -> $EXP ==="
+  SEARCH_EP=$(ckpt_epoch "$EXP/running_ckpt")
 
   # stage 1: search to the fuse point (reference run_exp.sh:15)
-  python scripts/search.py --data-path "$DATA" --data-set IMNET \
-      --model "$MODEL" --target_flops "$TGT" \
-      --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
-      --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
-      2>&1 | tee "$EXP/search1.log"
+  if [ "$SEARCH_EP" -ge "$((FUSE_POINT - 1))" ]; then
+    echo "--- stage 1 complete (epoch $SEARCH_EP), skipping"
+  else
+    RESUME=""
+    if [ "$SEARCH_EP" -ge 0 ]; then
+      RESUME="--resume --checkpoint $EXP/running_ckpt"
+      echo "--- stage 1 resuming from epoch $SEARCH_EP"
+    fi
+    python scripts/search.py --data-path "$DATA" --data-set IMNET \
+        --model "$MODEL" --target_flops "$TGT" \
+        --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" \
+        --w_flops "$W_FLOPS" --blr_arch "$BLR_ARCH" \
+        --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
+        $RESUME 2>&1 | tee -a "$EXP/search1.log"
+  fi
 
   # stage 2: resume for the remaining epochs (reference run_exp.sh:17)
-  python scripts/search.py --data-path "$DATA" --data-set IMNET \
-      --model "$MODEL" --target_flops "$TGT" \
-      --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" --w_flops "$W_FLOPS" \
-      --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
-      --resume --checkpoint "$EXP/running_ckpt" \
-      2>&1 | tee "$EXP/search2.log"
+  SEARCH_EP=$(ckpt_epoch "$EXP/running_ckpt")
+  if [ "$SEARCH_EP" -ge "$((EPOCHS - 1))" ]; then
+    echo "--- stage 2 complete (epoch $SEARCH_EP), skipping"
+  else
+    python scripts/search.py --data-path "$DATA" --data-set IMNET \
+        --model "$MODEL" --target_flops "$TGT" \
+        --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" \
+        --w_flops "$W_FLOPS" --blr_arch "$BLR_ARCH" \
+        --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
+        --resume --checkpoint "$EXP/running_ckpt" \
+        2>&1 | tee -a "$EXP/search2.log"
+  fi
 
   # stage 3: export + finetune (reference run_exp.sh:22)
-  python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
-      --finetune "$EXP/best" --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
-      --cache-device --planned-epoch --output_dir "$EXP/ft" \
-      2>&1 | tee "$EXP/finetune.log"
+  FT_EP=$(ckpt_epoch "$EXP/ft/running_ckpt")
+  if [ "$FT_EP" -ge "$((FT_EPOCHS - 1))" ]; then
+    echo "--- finetune complete (epoch $FT_EP), skipping"
+  else
+    python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
+        --finetune "$EXP/best" --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
+        --cache-device --planned-epoch --output_dir "$EXP/ft" \
+        2>&1 | tee -a "$EXP/finetune.log"
+  fi
+  python scripts/run_status.py --root "$EXP_ROOT" >/dev/null || true
 done
 
 # dense comparator: the SAME finetune recipe from a fresh dense init
 # (ladder_imnet_summary.py reads it from <root>/dense_ft/best)
 if [ ! -f "$EXP_ROOT/dense_ft/best/meta.json" ]; then
   python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
-      --model deit_small_patch16_224_finetune \
+      --model deit_small_patch16_224_finetune --from-scratch \
       --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
       --cache-device --planned-epoch --output_dir "$EXP_ROOT/dense_ft" \
       2>&1 | tee "$EXP_ROOT/dense_ft.log"
@@ -74,5 +112,6 @@ fi
 
 python scripts/ladder_imnet_summary.py --root "$EXP_ROOT" \
     2>&1 | tee "$EXP_ROOT/summary.log"
+python scripts/run_status.py --root "$EXP_ROOT" || true
 
 echo "=== ladder complete; per-target logs under $EXP_ROOT ==="
