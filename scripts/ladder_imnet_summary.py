@@ -60,7 +60,8 @@ def main():
     dense_best = os.path.join(args.root, "dense_ft", "best")
     if os.path.exists(os.path.join(dense_best, "meta.json")):
         dmeta = ckpt.latest_meta(dense_best)
-        drow = {"target_frac": 1.0, "target_gflops": args.dense_gflops,
+        drow = {"name": "dense", "target_frac": 1.0,
+                "target_gflops": args.dense_gflops,
                 "acc1": dmeta.get("acc1")}
         if "model_cfg" in dmeta:
             dcfg = ckpt.model_cfg_from_meta(dmeta["model_cfg"], ModelCfg)
@@ -72,7 +73,7 @@ def main():
         print(json.dumps(drow), flush=True)
     for tdir in sorted(glob.glob(os.path.join(args.root, "t*"))):
         frac = float(os.path.basename(tdir)[1:])
-        row = {"target_frac": frac,
+        row = {"name": os.path.basename(tdir), "target_frac": frac,
                "target_gflops": round(args.dense_gflops * frac, 3)}
         slog = last_log_row(os.path.join(tdir, "log.txt"))
         if slog:
@@ -99,22 +100,46 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # merge hard-val generalization rows (scripts/ladder_hard_eval.py) when
+    # present: the training val saturates, so hard-val is the accuracy axis
+    # that actually orders capacities
+    he_path = os.path.join(args.root, "hard_eval.json")
+    hard_cols = []
+    if os.path.exists(he_path):
+        with open(he_path) as f:
+            he = json.load(f)
+        he_rows = he["rows"] if isinstance(he, dict) else he
+        by_name = {r["name"]: r["acc1"] for r in he_rows}
+        hard_cols = sorted({k for a in by_name.values() for k in a})
+        for r in rows:
+            name = r["name"]
+            for kind in ("best", "final"):
+                accs = by_name.get(f"{name}/{kind}")
+                if accs:
+                    r[f"hard_{kind}"] = accs
+
     out = os.path.join(args.root, "ladder.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=2)
 
     hdr = (f"{'target':>7} {'tgt G':>7} {'srch G':>7} {'exp G':>7} "
            f"{'%dense':>7} {'params':>10} {'embed':>6} {'top-1':>7}")
+    for c in hard_cols:
+        hdr += f" {os.path.basename(c)[-10:]:>10}"
     print(hdr, flush=True)
     for r in rows:
         g = r.get("gflops") or r.get("searched_gflops") or float("nan")
-        print(f"{r['target_frac']:>7.2f} {r['target_gflops']:>7.3f} "
-              f"{r.get('searched_gflops') or float('nan'):>7.3f} "
-              f"{r.get('gflops') or float('nan'):>7.3f} "
-              f"{g / args.dense_gflops:>7.1%} "
-              f"{r.get('params') or 0:>10d} "
-              f"{r.get('embed_dim') or 0:>6d} "
-              f"{r.get('acc1') or float('nan'):>7.2f}", flush=True)
+        line = (f"{r['target_frac']:>7.2f} {r['target_gflops']:>7.3f} "
+                f"{r.get('searched_gflops') or float('nan'):>7.3f} "
+                f"{r.get('gflops') or float('nan'):>7.3f} "
+                f"{g / args.dense_gflops:>7.1%} "
+                f"{r.get('params') or 0:>10d} "
+                f"{r.get('embed_dim') or 0:>6d} "
+                f"{r.get('acc1') or float('nan'):>7.2f}")
+        hb = r.get("hard_best") or r.get("hard_final") or {}
+        for c in hard_cols:
+            line += f" {hb.get(c, float('nan')):>10.2f}"
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,9 @@ timeout 5400 python scripts/ladder_hard_eval.py --root runs/ladder_imnet_r3 \
   --val-roots /tmp/imfolder /tmp/imf_hard_n060 /tmp/imf_hard_n090 /tmp/imf_hard_n120 \
   || true
 
+echo "=== stage 3b: refresh summary with hard-val columns ==="
+python scripts/ladder_imnet_summary.py --root runs/ladder_imnet_r3 || true
+
 echo "=== stage 4: organic-kill search (blr_arch x8, t0.25 geometry) ==="
 EXP=runs/organic_a8
 mkdir -p "$EXP"
