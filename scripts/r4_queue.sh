@@ -40,13 +40,13 @@ mkdir -p "$EXP"
 python scripts/search.py --data-path /tmp/imfolder --data-set IMNET \
     --model deit_small_patch16_224_mim --target_flops 1.15 \
     --epochs 100 --fuse_point 50 --batch-size 256 --w_flops 2000 \
-    --blr_arch 2e-3 --model-ema \
+    --blr_arch 2e-3 --model-ema --ckpt-every 10 --eval-every 5 \
     --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
     2>&1 | tee "$EXP/search1.log"
 python scripts/search.py --data-path /tmp/imfolder --data-set IMNET \
     --model deit_small_patch16_224_mim --target_flops 1.15 \
     --epochs 100 --fuse_point 100 --batch-size 256 --w_flops 2000 \
-    --blr_arch 2e-3 --model-ema \
+    --blr_arch 2e-3 --model-ema --ckpt-every 10 --eval-every 5 \
     --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
     --resume --checkpoint "$EXP/running_ckpt" \
     2>&1 | tee "$EXP/search2.log"
