@@ -52,4 +52,20 @@ python scripts/search.py --data-path /tmp/imfolder --data-set IMNET \
     2>&1 | tee "$EXP/search2.log"
 grep -c "prune event" "$EXP"/search1.log "$EXP"/search2.log || true
 
-echo "=== r4 queue done at $(date) ==="
+echo "=== stage 5: finetune the organic-kill export (v2 rung for the table) ==="
+python scripts/finetune.py --data-path /tmp/imfolder --data-set IMNET \
+    --finetune "$EXP/best" --epochs 60 --batch-size 256 \
+    --cache-device --planned-epoch --output_dir "$EXP/ft" \
+    2>&1 | tee "$EXP/finetune.log" || true
+
+echo "=== stage 6: organic-run analysis ==="
+python scripts/alpha_dynamics.py "$EXP/alpha.txt" || true
+python scripts/prune_timeline.py "$EXP"/search1.log "$EXP"/search2.log \
+    --log-txt "$EXP/log.txt" --json-out "$EXP/prune_timeline.json" || true
+python scripts/run_status.py --root runs/organic_a8 2>/dev/null || true
+
+echo "=== stage 7: Swin ladder ==="
+DATA=/tmp/imfolder bash scripts/ladder_swin.sh runs/ladder_swin_r4 || true
+
+echo "=== r4 queue FULLY done at $(date) ==="
+
