@@ -37,6 +37,13 @@ W_FLOPS=${W_FLOPS:-2000}
 # the run (BENCH.md round 4 "Measured alpha-sharpening rate"); export
 # BLR_ARCH=2.5e-4 for the reference default.
 BLR_ARCH=${BLR_ARCH:-2e-3}
+# extra flags for both search stages (e.g. the organic recipe:
+# "--model-ema --ckpt-every 10 --eval-every 5"); FT_FROM picks the export
+# source — `best` (eval winner) or `running_ckpt` (final state; the right
+# choice for organic runs, where convergence accumulates to the end and
+# the saturated train-val makes `best` an early-epoch snapshot).
+SEARCH_EXTRA=${SEARCH_EXTRA:-}
+FT_FROM=${FT_FROM:-best}
 cd "$(dirname "$0")/.."
 mkdir -p "$EXP_ROOT"
 
@@ -70,7 +77,7 @@ for FRAC in $TARGETS; do
         --epochs "$EPOCHS" --fuse_point "$FUSE_POINT" --batch-size "$BATCH" \
         --w_flops "$W_FLOPS" --blr_arch "$BLR_ARCH" \
         --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
-        $RESUME 2>&1 | tee -a "$EXP/search1.log"
+        $SEARCH_EXTRA $RESUME 2>&1 | tee -a "$EXP/search1.log"
   fi
 
   # stage 2: resume for the remaining epochs (reference run_exp.sh:17)
@@ -83,7 +90,7 @@ for FRAC in $TARGETS; do
         --epochs "$EPOCHS" --fuse_point "$EPOCHS" --batch-size "$BATCH" \
         --w_flops "$W_FLOPS" --blr_arch "$BLR_ARCH" \
         --accum-iter 1 --cache-device --planned-epoch --output_dir "$EXP" \
-        --resume --checkpoint "$EXP/running_ckpt" \
+        $SEARCH_EXTRA --resume --checkpoint "$EXP/running_ckpt" \
         2>&1 | tee -a "$EXP/search2.log"
   fi
 
@@ -93,7 +100,7 @@ for FRAC in $TARGETS; do
     echo "--- finetune complete (epoch $FT_EP), skipping"
   else
     python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
-        --finetune "$EXP/best" --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
+        --finetune "$EXP/$FT_FROM" --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
         --cache-device --planned-epoch --output_dir "$EXP/ft" \
         2>&1 | tee -a "$EXP/finetune.log"
   fi
