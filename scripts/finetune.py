@@ -89,6 +89,10 @@ def get_args_parser():
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--checkpoint", default="", type=str)
+    p.add_argument("--auto-resume", default=2, type=int,
+                   help="on a transient relay/transport failure, re-exec "
+                        "with --resume --checkpoint "
+                        "<output_dir>/running_ckpt up to N times; 0 off")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
@@ -474,4 +478,5 @@ def _cfg_meta(cfg):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("OFB TPU finetune",
                                      parents=[get_args_parser()])
-    main(parser.parse_args())
+    from ofb_tpu.utils.resilience import run_with_auto_resume
+    run_with_auto_resume(main, parser.parse_args())

@@ -41,6 +41,11 @@ def get_args_parser():
     p.add_argument("--model-ema-decay", type=float, default=0.99996)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--checkpoint", default="", type=str)
+    p.add_argument("--auto-resume", default=2, type=int,
+                   help="on a transient relay/transport failure, re-exec "
+                        "this CLI with --resume --checkpoint "
+                        "<output_dir>/running_ckpt up to N times "
+                        "(ofb_tpu/utils/resilience.py); 0 disables")
     # optimizer families (reference search.py:56-98)
     p.add_argument("--opt-eps", default=1e-8, type=float)
     p.add_argument("--opt-betas", default=(0.9, 0.999), type=float, nargs=2)
@@ -631,4 +636,5 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("OFB TPU search",
                                      parents=[get_args_parser()])
-    main(parser.parse_args())
+    from ofb_tpu.utils.resilience import run_with_auto_resume
+    run_with_auto_resume(main, parser.parse_args())

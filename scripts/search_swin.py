@@ -75,6 +75,10 @@ def get_args_parser():
                    help="resume from --checkpoint (default "
                         "<output_dir>/running_ckpt)")
     p.add_argument("--checkpoint", default="", type=str)
+    p.add_argument("--auto-resume", default=2, type=int,
+                   help="on a transient relay/transport failure, re-exec "
+                        "with --resume --checkpoint "
+                        "<output_dir>/running_ckpt up to N times; 0 off")
     p.add_argument("--tiny-test", action="store_true")
     p.add_argument("--cache-device", action="store_true",
                    help="keep the decoded uint8 staging set in device HBM "
@@ -519,4 +523,5 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("OFB TPU Swin search",
                                      parents=[get_args_parser()])
-    main(parser.parse_args())
+    from ofb_tpu.utils.resilience import run_with_auto_resume
+    run_with_auto_resume(main, parser.parse_args())
