@@ -23,7 +23,11 @@ EPOCHS=${EPOCHS:-60}
 BATCH=${BATCH:-256}
 FT_EPOCHS=${FT_EPOCHS:-40}
 DENSE_GFLOPS=4.519   # swin_model_flops() dense term of the swin_tiny supernet
-TARGETS=${TARGETS:-"0.45 0.70"}
+# 0.95 is the near-dense capacity reference (force-finish at the top of
+# the ratio grid keeps ~everything) — the ladder's "dense row" without a
+# separate dense-Swin trainer; 0.45/0.70 straddle the ~0.56x uniform-
+# alpha expectation.
+TARGETS=${TARGETS:-"0.45 0.70 0.95"}
 W_FLOPS=${W_FLOPS:-2000}
 BLR_ARCH=${BLR_ARCH:-2e-3}
 cd "$(dirname "$0")/.."
