@@ -23,7 +23,9 @@ EPOCHS=${EPOCHS:-100}
 FUSE_POINT=${FUSE_POINT:-50}
 BATCH=${BATCH:-256}
 FT_EPOCHS=${FT_EPOCHS:-60}
-DENSE_GFLOPS=4.600   # model_flops() of the dense deit_small supernet
+# model_flops() dense term of the supernet: deit_small 4.600 (default),
+# deit_tiny 1.366, deit_base 17.525 — override when MODEL changes
+DENSE_GFLOPS=${DENSE_GFLOPS:-4.600}
 # Rungs straddle the ~0.44x-dense expected FLOPs of the uniform-alpha
 # init, spanning the reference ladder's A..D range (README.md:19-25:
 # 0.9-3.4 GFLOPs on tiny/small): 0.25 pulls hard down, 0.45 holds, 0.70
@@ -109,9 +111,10 @@ done
 
 # dense comparator: the SAME finetune recipe from a fresh dense init
 # (ladder_imnet_summary.py reads it from <root>/dense_ft/best)
+DENSE_MODEL=${DENSE_MODEL:-${MODEL/_mim/_finetune}}
 if [ ! -f "$EXP_ROOT/dense_ft/best/meta.json" ]; then
   python scripts/finetune.py --data-path "$DATA" --data-set IMNET \
-      --model deit_small_patch16_224_finetune --from-scratch \
+      --model "$DENSE_MODEL" --from-scratch \
       --epochs "$FT_EPOCHS" --batch-size "$BATCH" \
       --cache-device --planned-epoch --output_dir "$EXP_ROOT/dense_ft" \
       2>&1 | tee "$EXP_ROOT/dense_ft.log"
