@@ -53,11 +53,32 @@ def main() -> None:
     ap.add_argument("--log-txt", default=None,
                     help="per-epoch JSON-lines log for searched GFLOPs")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="keep replayed events from crash+resume overlaps")
     args = ap.parse_args()
 
     events: list = []
     for p in args.logs:
         parse_log(p, events)
+
+    # a crash+resume replays the tail of the previous log deterministically
+    # (identical decisions from the replicated host-side compress), so the
+    # same physical event can appear in two logs — merge by (module,
+    # fractional epoch, converged) and keep one, then sort into one
+    # timeline. --no-dedup shows the raw per-log stream instead.
+    if not args.no_dedup:
+        seen, unique = set(), []
+        for e in sorted(events, key=lambda e: (e["frac_epoch"],
+                                               e["module"])):
+            key = (e["module"], e["frac_epoch"], e["converged"])
+            if key in seen:
+                continue
+            seen.add(key)
+            unique.append(e)
+        if len(unique) < len(events):
+            print(f"deduped {len(events) - len(unique)} replayed events "
+                  "(crash+resume overlap)")
+        events = unique
 
     gflops = {}
     if args.log_txt:
