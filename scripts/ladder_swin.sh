@@ -52,4 +52,13 @@ done
 python scripts/ladder_hard_eval.py --root "$EXP_ROOT" --family swin \
     2>&1 | tee "$EXP_ROOT/hard_eval.log" || true
 
+# organic prune-event timeline per rung (the blr_arch x8 recipe fires
+# kills on DeiT-S; this records whether it does on Swin too)
+for FRAC in $TARGETS; do
+  EXP="$EXP_ROOT/t$FRAC"
+  [ -f "$EXP/search.log" ] && python scripts/prune_timeline.py \
+      "$EXP/search.log" --log-txt "$EXP/log.txt" \
+      --json-out "$EXP/prune_timeline.json" || true
+done
+
 echo "=== swin ladder complete; per-target logs under $EXP_ROOT ==="
