@@ -20,7 +20,12 @@ EXP_ROOT=${1:-runs/ladder_swin}
 DATA=${DATA:-/tmp/imfolder}
 MODEL=${MODEL:-swin_tiny_patch4_window7_224_mim}
 EPOCHS=${EPOCHS:-60}
-BATCH=${BATCH:-256}
+# batch 128 is the benched Swin search config AND the HBM-safe one with
+# the 3.85 GiB --cache-device staging set resident: batch 256 + cache
+# OOMs (measured: 17.09G needed vs 15.75G, r4b queue). Arch drift/epoch
+# is batch-invariant (lr_arch scales by eff_batch/256, steps/epoch by
+# its inverse), so the organic recipe transfers unchanged.
+BATCH=${BATCH:-128}
 FT_EPOCHS=${FT_EPOCHS:-40}
 DENSE_GFLOPS=4.519   # swin_model_flops() dense term of the swin_tiny supernet
 # 0.95 is the near-dense capacity reference (force-finish at the top of
