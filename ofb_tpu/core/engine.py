@@ -97,6 +97,7 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
                 and (it + 1) % compress_every == 0):
             flush()
             print_fn("Start Compression")
+            t_c = _time.time()
             params, alphas, arch, opt_state, report = compress(
                 state.params, state.alphas, state.arch, state.opt_state,
                 space, scfg.compress_thresh)
@@ -105,6 +106,8 @@ def search_one_epoch(state: TrainState, step_fn: Callable, feed: Iterable,
             execute_pruned |= report.execute_prune
             for e in report.events:
                 print_fn(f"  {e}")
+            print_fn(f"  compress pass {_time.time() - t_c:.2f}s "
+                     f"({len(report.events)} events)")
             finish_search = report.finish_search
             if not scfg.progressive:
                 keep_cache = _smallest_active_patch_ratio(state.arch, space)
@@ -178,6 +181,7 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
         if not finish_search and (it + 1) % compress_every == 0:
             flush()
             print_fn("Start Compression")
+            t_c = _time.time()
             frac = epoch + ((it + 1) * A) / max(micro_per_epoch, 1)
             state = host_sync_w_p(frac)
             params, alphas, arch, opt_state, report = compress(
@@ -188,6 +192,8 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
             execute_pruned |= report.execute_prune
             for e in report.events:
                 print_fn(f"  {e}")
+            print_fn(f"  compress pass {_time.time() - t_c:.2f}s "
+                     f"({len(report.events)} events)")
             finish_search = report.finish_search
 
     flush()
