@@ -196,6 +196,29 @@ def compress(params, alphas, arch: ArchState, opt_state,
     """
     report = CompressReport()
     zero_paths: List[str] = []
+
+    # Bulk device->host prefetch of every decision input. The naive
+    # per-array reads below cost one relay round trip EACH (~3-5 ms idle,
+    # much more with a busy pipeline) — ~100 trips per pass at DeiT-S
+    # geometry, 3 passes/epoch. Two batched transfers replace them: the
+    # (alphas, arch) trees, then the per-module score vectors (selected
+    # using the host arch flags). Decisions run on host copies; only the
+    # small updated arrays go back. Big tensors never move.
+    alphas, arch = jax.device_get((alphas, arch))
+    sc: Dict[Any, Any] = {}
+    if space.embed.searchable and not bool(arch.embed.finished):
+        sc["embed"] = params["patch_embed"]["score"]
+    for _s, _ds in enumerate(space.stage_embeds):
+        if _ds.searchable and not bool(arch.stage_embeds[_s].finished):
+            sc[f"stage.{_s}"] = params["stages"][_s]["embed_score"]
+    for _i, _bs in enumerate(space.blocks):
+        _blk = _get_in(params, _block_path(params, _i))
+        if _bs.attn.searchable and not bool(arch.blocks[_i].attn.finished):
+            sc[f"attn.{_i}"] = _blk["attn"]["score"]
+        if _bs.mlp.searchable and not bool(arch.blocks[_i].mlp.finished):
+            sc[f"mlp.{_i}"] = _blk["mlp"]["score"]
+    sc = jax.device_get(sc)
+
     new_alphas = dict(alphas)
     new_params = params
     arch_updates: Dict[str, Any] = {}
@@ -221,7 +244,7 @@ def compress(params, alphas, arch: ArchState, opt_state,
     ea = arch.embed
     if space.embed.searchable and not bool(ea.finished):
         upd = _compress_dim(_np(alphas["embed"]), _np(ea.switch),
-                            _np(params["patch_embed"]["score"]),
+                            _np(sc["embed"]),
                             _np(ea.hard_mask), float(ea.w_p), thresh,
                             space.embed)
         if upd["pruned"]:
@@ -250,7 +273,7 @@ def compress(params, alphas, arch: ArchState, opt_state,
         if not ds.searchable or bool(ea.finished):
             continue
         upd = _compress_dim(_np(alphas["stage_embeds"][s]), _np(ea.switch),
-                            _np(params["stages"][s]["embed_score"]),
+                            _np(sc[f"stage.{s}"]),
                             _np(ea.hard_mask), float(ea.w_p), thresh, ds)
         if upd["pruned"]:
             report.execute_prune = True
@@ -289,8 +312,7 @@ def compress(params, alphas, arch: ArchState, opt_state,
         if bs.attn.searchable and not bool(ba.attn.finished):
             upd = _compress_attn(_np(alphas["blocks"][i]["attn"]),
                                  _np(ba.attn.switch),
-                                 _np(_get_in(new_params, bpath)
-                                     ["attn"]["score"]),
+                                 _np(sc[f"attn.{i}"]),
                                  _np(ba.attn.hard_mask), float(ba.attn.w_p),
                                  thresh, bs.attn)
             if upd["pruned"]:
@@ -320,8 +342,7 @@ def compress(params, alphas, arch: ArchState, opt_state,
         if bs.mlp.searchable and not bool(ba.mlp.finished):
             upd = _compress_dim(_np(alphas["blocks"][i]["mlp"]),
                                 _np(ba.mlp.switch),
-                                _np(_get_in(new_params, bpath)
-                                    ["mlp"]["score"]),
+                                _np(sc[f"mlp.{i}"]),
                                 _np(ba.mlp.hard_mask), float(ba.mlp.w_p),
                                 thresh, bs.mlp)
             if upd["pruned"]:
@@ -358,6 +379,12 @@ def compress(params, alphas, arch: ArchState, opt_state,
     # (reference layers.py:219-222: switch.sum()==1 -> finish immediately)
     new_arch = _finish_singletons(new_arch, space)
     report.finish_search = new_arch.all_finished
+
+    # back to device arrays in one shot — leftover numpy leaves from the
+    # bulk prefetch would otherwise re-upload on EVERY subsequent step
+    # dispatch (jit converts fresh ndarray arguments each call)
+    new_arch = jax.tree_util.tree_map(jnp.asarray, new_arch)
+    new_alphas = jax.tree_util.tree_map(jnp.asarray, new_alphas)
 
     new_opt_state = opt_state
     if zero_paths and opt_state is not None:
