@@ -42,6 +42,10 @@ for FRAC in $TARGETS; do
   TGT=$(python -c "print(f'{$DENSE_GFLOPS * $FRAC:.3f}')")
   EXP="$EXP_ROOT/t$FRAC"
   mkdir -p "$EXP"
+  if [ -f "$EXP/model_finetuned/meta.json" ]; then
+    echo "=== swin target $FRAC already complete (model_finetuned present); skipping ==="
+    continue
+  fi
   echo "=== swin target $FRAC x dense = $TGT GFLOPs -> $EXP ==="
   python scripts/search_swin.py --data-path "$DATA" --data-set IMNET \
       --model "$MODEL" --target_flops "$TGT" --w_flops "$W_FLOPS" \
@@ -50,7 +54,8 @@ for FRAC in $TARGETS; do
       --cache-device --planned-epoch --force-finish \
       --export-finetune-epochs "$FT_EPOCHS" \
       --output_dir "$EXP" \
-      2>&1 | tee "$EXP/search.log"
+      2>&1 | tee "$EXP/search.log" \
+      || echo "!!! rung $FRAC FAILED (continuing to next target)"
 done
 
 # hard-val generalization rows for every exported+finetuned rung
