@@ -111,7 +111,7 @@ def main():
     ap.add_argument("--family", default="vit", choices=["vit", "swin"],
                     help="vit: ladder_imnet.sh layout (t*/ft/{best,"
                          "running_ckpt} + dense_ft). swin: ladder_swin.sh "
-                         "layout (t*/{model_ft,model_exported})")
+                         "layout (t*/{model_finetuned,model_exported})")
     args = ap.parse_args()
 
     import jax.numpy as jnp
