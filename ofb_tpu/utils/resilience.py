@@ -68,6 +68,26 @@ def _resume_argv(checkpoint: str) -> list:
                                           "--checkpoint", checkpoint]
 
 
+def _fresh_argv() -> list:
+    """argv for a from-scratch re-exec: any --resume/--checkpoint left by
+    an earlier auto-resume exec must be STRIPPED (appending can't undo a
+    store_true flag)."""
+    argv, skip = [], False
+    for a in sys.argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--resume" or a.startswith("--resume="):
+            continue
+        if a == "--checkpoint":
+            skip = True
+            continue
+        if a.startswith("--checkpoint="):
+            continue
+        argv.append(a)
+    return [sys.executable] + argv
+
+
 def run_with_auto_resume(run: Callable, args) -> None:
     """Run ``run(args)``; on a transient relay error, re-exec this CLI
     with ``--resume --checkpoint <output_dir>/running_ckpt``.
@@ -93,13 +113,20 @@ def run_with_auto_resume(run: Callable, args) -> None:
             raise
         out = getattr(args, "output_dir", "") or ""
         rck = os.path.join(out, "running_ckpt")
-        if not os.path.exists(os.path.join(rck, "meta.json")):
-            raise  # nothing to resume from — fail loudly
+        if os.path.exists(os.path.join(rck, "meta.json")):
+            argv = _resume_argv(rck)
+            how = f"--resume --checkpoint {rck}"
+        else:
+            # Pre-checkpoint dead zone (VERDICT r4 #4): a relay failure
+            # during the FIRST compile has no checkpoint to resume from.
+            # Losing zero completed epochs, a fresh start IS the resume.
+            argv = _fresh_argv()
+            how = "a fresh start (no running_ckpt yet)"
         print(f"[auto-resume] transient failure "
               f"({type(exc).__name__}: {str(exc).splitlines()[0][:200]}); "
-              f"re-exec with --resume --checkpoint {rck} "
+              f"re-exec with {how} "
               f"({left - 1} attempts left)", flush=True)
         os.environ[_ENV_LEFT] = str(left - 1)
         sys.stdout.flush()
         sys.stderr.flush()
-        os.execve(sys.executable, _resume_argv(rck), dict(os.environ))
+        os.execve(sys.executable, argv, dict(os.environ))

@@ -21,3 +21,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Fast core-correctness tier (VERDICT r4 #9): `pytest -m smoke` covers the
+# gate math, compress/export equivalence, loss numerics, and the torch
+# parity checks in a few minutes; the full suite stays the merge gate.
+_SMOKE_MODULES = {
+    "test_search_space",
+    "test_export",
+    "test_loss_numerics",
+    "test_torch_parity",
+    "test_resilience",
+    "test_run_status",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)

@@ -95,16 +95,40 @@ def test_non_transient_reraises(tmp_path, monkeypatch):
             lambda a: (_ for _ in ()).throw(ValueError("bad")), _Args(out))
 
 
-def test_no_ckpt_reraises(tmp_path, monkeypatch):
-    _capture_exec(monkeypatch)
+def test_no_ckpt_reexecs_fresh(tmp_path, monkeypatch):
+    """Pre-checkpoint dead zone (VERDICT r4 #4): a transient failure
+    during the FIRST compile re-execs WITHOUT --resume (fresh start) —
+    the budget still applies, but the rung is not abandoned."""
+    calls = _capture_exec(monkeypatch)
     monkeypatch.delenv(resilience._ENV_LEFT, raising=False)
+    monkeypatch.setattr(
+        resilience.sys, "argv",
+        ["scripts/search.py", "--epochs", "3", "--output_dir", "x"])
 
     def run(args):
         raise _relay_error()
 
-    with pytest.raises(RuntimeError, match="remote_compile"):
+    with pytest.raises(SystemExit):
         resilience.run_with_auto_resume(
-            run, _Args(str(tmp_path / "empty")))
+            run, _Args(str(tmp_path / "empty"), auto_resume=2))
+    assert "--resume" not in calls["argv"]
+    assert "--checkpoint" not in calls["argv"]
+    assert calls["env"][resilience._ENV_LEFT] == "1"
+
+
+def test_fresh_argv_strips_stale_resume_flags(monkeypatch):
+    """A fresh re-exec after an earlier --resume exec must strip the
+    stale flags — appending can't undo a store_true --resume."""
+    monkeypatch.setattr(
+        resilience.sys, "argv",
+        ["scripts/search.py", "--epochs", "3",
+         "--resume", "--checkpoint", "old/running_ckpt",
+         "--output_dir", "x"])
+    argv = resilience._fresh_argv()
+    assert "--resume" not in argv and "--checkpoint" not in argv
+    assert "old/running_ckpt" not in argv
+    assert argv[1:] == ["scripts/search.py", "--epochs", "3",
+                        "--output_dir", "x"]
 
 
 def test_nan_abort_systemexit_passes_through(tmp_path, monkeypatch):
