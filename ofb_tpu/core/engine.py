@@ -149,15 +149,29 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
     loss_pos = metric_keys.index("loss_total")
     t_epoch = _time.time()
 
+    # was an async checkpoint write still serializing when this epoch
+    # started? (its to_bytes holds the GIL and can starve the dispatch
+    # loop — record it so slow epochs can be attributed)
+    from . import checkpoint as _ckpt
+    with _ckpt._PENDING_LOCK:
+        ckpt_pending_at_start = any(t.is_alive()
+                                    for t in _ckpt._PENDING.values())
+
     idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
     labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
     epoch_dev = jnp.asarray(epoch, jnp.int32)
     base = state.step
 
     pending = []
+    timing = {"dispatch_s": 0.0, "flush_s": 0.0, "flush_max_s": 0.0,
+              "compress_s": 0.0}
 
     def flush():
+        t0 = _time.time()
         host = jax.device_get(pending)
+        dt = _time.time() - t0
+        timing["flush_s"] += dt
+        timing["flush_max_s"] = max(timing["flush_max_s"], dt)
         for v in host:
             logger.update(**{k: float(x)
                              for k, x in zip(metric_keys, v)})
@@ -170,8 +184,10 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
         return state.replace(arch=sync_w_p(state.arch, frac, warm))
 
     for it in range(steps_per_epoch):
+        t0 = _time.time()
         state, packed = step_fn(state, cache, idx_plan, labels_plan, rng,
                                 base, epoch_dev)
+        timing["dispatch_s"] += _time.time() - t0
         pending.append(packed)
 
         if it % log_every == 0 or it == steps_per_epoch - 1:
@@ -192,6 +208,7 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
             execute_pruned |= report.execute_prune
             for e in report.events:
                 print_fn(f"  {e}")
+            timing["compress_s"] += _time.time() - t_c
             print_fn(f"  compress pass {_time.time() - t_c:.2f}s "
                      f"({len(report.events)} events)")
             finish_search = report.finish_search
@@ -206,8 +223,16 @@ def search_one_epoch_planned(state: TrainState, step_fn: Callable,
     stats = logger.averages()
     stats["epoch_time_s"] = dt
     stats["img_s"] = n_images / max(dt, 1e-9)
+    other = dt - timing["dispatch_s"] - timing["flush_s"] \
+        - timing["compress_s"]
     print_fn(f"Epoch [{epoch}] total {dt:.1f}s "
-             f"({stats['img_s']:.1f} img/s sustained)")
+             f"({stats['img_s']:.1f} img/s sustained) "
+             f"[dispatch {timing['dispatch_s']:.1f}s "
+             f"flush {timing['flush_s']:.1f}s "
+             f"(max {timing['flush_max_s']:.1f}s) "
+             f"compress {timing['compress_s']:.1f}s "
+             f"other {other:.1f}s"
+             f"{' ckpt-write-pending' if ckpt_pending_at_start else ''}]")
     return state, stats, finish_search, execute_pruned
 
 
@@ -262,9 +287,15 @@ def train_one_epoch_planned(state: TrainState, step_fn: Callable, cache,
     idx_plan = jnp.asarray(np.stack(batches).astype(np.int32))
     labels_plan = jnp.asarray(labels[np.stack(batches)].astype(np.int32))
     base = state.step
+    timing = {"flush_s": 0.0, "flush_max_s": 0.0}
 
     def flush():
-        for v in jax.device_get(pending):
+        t0 = _time.time()
+        host = jax.device_get(pending)
+        dt = _time.time() - t0
+        timing["flush_s"] += dt
+        timing["flush_max_s"] = max(timing["flush_max_s"], dt)
+        for v in host:
             logger.update(loss=float(v))
             if not math.isfinite(float(v)):
                 print_fn(f"Loss is {float(v)}, stopping training")
@@ -284,6 +315,7 @@ def train_one_epoch_planned(state: TrainState, step_fn: Callable, cache,
     stats = logger.averages()
     stats["epoch_time_s"] = dt
     stats["img_s"] = int(idx_plan.size) / max(dt, 1e-9)
+    stats["flush_max_s"] = timing["flush_max_s"]
     return state, stats
 
 

@@ -23,6 +23,38 @@ from .regnet import (REGNET_CFGS, init_regnet_params, regnet_forward,
 def build_teacher(name: str, *, teacher_path: str = "", num_classes: int,
                   mesh, compute_dtype) -> Callable:
     """Returns teacher_apply(images) -> fp32 logits (frozen weights)."""
+    import os
+
+    if teacher_path and os.path.isdir(teacher_path):
+        # A native ofb_tpu checkpoint directory (e.g. a dense comparator or
+        # exported+finetuned rung): the "synthetic-trained teacher" path —
+        # the reference loads its timm teacher from a torch checkpoint
+        # (search.py:587-604); here the analogous strong teacher on this
+        # machine's data IS a prior finetune run.
+        import jax.numpy as jnp
+
+        from ..core import checkpoint as ckpt
+        from .vit import ModelCfg, init_vit_params, vit_forward
+
+        meta = ckpt.latest_meta(teacher_path)
+        if meta is None:
+            raise SystemExit(f"teacher_path {teacher_path}: no checkpoint "
+                             "meta.json found")
+        if meta.get("family") == "swin":
+            raise SystemExit("swin teacher checkpoints are not supported "
+                             "as KD teachers yet (vit/regnet only)")
+        tcfg = ckpt.model_cfg_from_meta(meta["model_cfg"], ModelCfg)
+        tpl = init_vit_params(jax.random.PRNGKey(7), tcfg)
+        restored = ckpt.load_checkpoint(teacher_path, params=tpl)
+        tparams = replicate(mesh, jax.tree_util.tree_map(
+            jnp.asarray, restored["params"]))
+
+        def teacher_apply(images, _tp=tparams, _tc=tcfg):
+            return vit_forward(_tp, images, _tc, train=False,
+                               compute_dtype=compute_dtype)
+
+        return teacher_apply
+
     sd = None
     if teacher_path:
         import torch

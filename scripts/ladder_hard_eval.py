@@ -112,6 +112,13 @@ def main():
                     help="vit: ladder_imnet.sh layout (t*/ft/{best,"
                          "running_ckpt} + dense_ft). swin: ladder_swin.sh "
                          "layout (t*/{model_finetuned,model_exported})")
+    ap.add_argument("--out", default="",
+                    help="output json path (default <root>/hard_eval.json); "
+                         "set when re-probing so prior artifacts survive")
+    ap.add_argument("--seed-summary", action="store_true",
+                    help="group val roots that differ only by a _s<seed> "
+                         "suffix and print mean +/- half-range per group "
+                         "(the error bar for the beats-dense claim)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -187,7 +194,7 @@ def main():
         rows.append({"name": name, "checkpoint": best, "acc1": accs,
                      "train_val_acc1": meta.get("acc1")})
 
-    out = os.path.join(args.root, "hard_eval.json")
+    out = args.out or os.path.join(args.root, "hard_eval.json")
     with open(out, "w") as f:
         json.dump({"probe_cfg": probe_cfg, "rows": rows}, f, indent=2)
 
@@ -196,6 +203,24 @@ def main():
     for r in rows:
         print(f"{r['name']:>12} " + " ".join(
             f"{r['acc1'][v]:>16.2f}" for v in args.val_roots), flush=True)
+
+    if args.seed_summary:
+        import re
+        groups = {}
+        for v in args.val_roots:
+            groups.setdefault(
+                re.sub(r"_s\d+$", "", os.path.basename(v)), []).append(v)
+        print(f"\n{'model':>12} " + " ".join(
+            f"{g + ' mean+-hr':>20}" for g in groups), flush=True)
+        for r in rows:
+            cells = []
+            for g, roots in groups.items():
+                vals = [r["acc1"][v] for v in roots]
+                mean = sum(vals) / len(vals)
+                hr = (max(vals) - min(vals)) / 2
+                cells.append(f"{mean:>13.2f} +-{hr:>4.2f}")
+            print(f"{r['name']:>12} " + " ".join(cells), flush=True)
+
     print(f"wrote {out}", flush=True)
 
 

@@ -69,3 +69,33 @@ def test_distilled_converge_and_export():
     ref = vit_forward(dense, x, dcfg, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(sup.logits), np.asarray(ref),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_teacher_from_native_checkpoint_dir(tmp_path):
+    """build_teacher accepts an ofb checkpoint DIRECTORY as teacher_path:
+    the synthetic-trained-teacher path (e.g. distilling a search from a
+    dense comparator finetuned on this machine's data)."""
+    import dataclasses
+
+    from ofb_tpu.core import checkpoint as ckpt
+    from ofb_tpu.models.teacher import build_teacher
+    from ofb_tpu.models.vit import init_vit_params
+    from ofb_tpu.parallel.mesh import make_mesh
+
+    tcfg = ModelCfg(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
+                    depth=1, num_heads=2, mlp_ratio=2.0)
+    tparams = init_vit_params(jax.random.PRNGKey(11), tcfg)
+    d = str(tmp_path / "teacher_ckpt")
+    ckpt.save_checkpoint(
+        d, params=tparams,
+        meta={"exported": True, "family": "vit",
+              "model_cfg": dataclasses.asdict(tcfg)})
+
+    mesh = make_mesh()
+    apply = build_teacher("ignored_name", teacher_path=d, num_classes=10,
+                          mesh=mesh, compute_dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(12), (2, 32, 32, 3))
+    got = apply(x)
+    want = vit_forward(tparams, x, tcfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
