@@ -47,15 +47,29 @@ for FRAC in $TARGETS; do
     continue
   fi
   echo "=== swin target $FRAC x dense = $TGT GFLOPs -> $EXP ==="
-  python scripts/search_swin.py --data-path "$DATA" --data-set IMNET \
-      --model "$MODEL" --target_flops "$TGT" --w_flops "$W_FLOPS" \
-      --blr_arch "$BLR_ARCH" \
-      --epochs "$EPOCHS" --batch-size "$BATCH" --embed_search \
-      --cache-device --planned-epoch --force-finish \
-      --export-finetune-epochs "$FT_EPOCHS" \
-      --output_dir "$EXP" \
-      2>&1 | tee "$EXP/search.log" \
-      || echo "!!! rung $FRAC FAILED (continuing to next target)"
+  # outer retry: --auto-resume covers transient in-process relay errors,
+  # but a killed PROCESS (session death, OOM-killer) needs this loop; a
+  # running_ckpt left by the previous attempt turns the retry into a
+  # resume instead of a from-scratch repeat (search epochs only — the
+  # ft stage re-runs from model_exported, which is saved atomically)
+  for attempt in 1 2 3; do
+    RESUME=""
+    [ -f "$EXP/running_ckpt/meta.json" ] && RESUME="--resume"
+    if python scripts/search_swin.py --data-path "$DATA" --data-set IMNET \
+        --model "$MODEL" --target_flops "$TGT" --w_flops "$W_FLOPS" \
+        --blr_arch "$BLR_ARCH" \
+        --epochs "$EPOCHS" --batch-size "$BATCH" --embed_search \
+        --cache-device --planned-epoch --force-finish \
+        --export-finetune-epochs "$FT_EPOCHS" \
+        --output_dir "$EXP" $RESUME \
+        2>&1 | tee -a "$EXP/search.log"; then
+      break
+    fi
+    echo "!!! rung $FRAC attempt $attempt failed at $(date); retrying"
+    sleep 30
+  done
+  [ -f "$EXP/model_finetuned/meta.json" ] \
+      || echo "!!! rung $FRAC FAILED after 3 attempts (continuing)"
 done
 
 # hard-val generalization rows for every exported+finetuned rung
