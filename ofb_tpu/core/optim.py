@@ -287,6 +287,7 @@ def build_search_optimizer(
     cfg_dec: OptimFamilyConfig, sched: ScheduleConfig, *,
     total_steps: int, steps_per_epoch: int,
     clip_grad: Optional[float] = None, accum_iter: int = 1,
+    sched_arch: Optional[ScheduleConfig] = None,
 ) -> Tuple[optax.GradientTransformation, Dict[str, optax.Schedule]]:
     """The reference's three AdamW optimizers as one multi_transform.
 
@@ -295,6 +296,15 @@ def build_search_optimizer(
     optax counts optimizer updates (one per accumulation window), so each
     schedule is evaluated at count * accum_iter. `total_steps` /
     `steps_per_epoch` are in micro-iterations.
+
+    `sched_arch` optionally overrides the schedule for the ARCH family
+    only (param/decoder keep `sched`). Rationale (alpha_tail.py, BENCH.md
+    round 5): organic cell kills are alpha-drift events and drift is
+    ~linear in arch LR, so the shared cosine decaying to ~0 freezes the
+    convergence tail — the last open modules flatline just above the kill
+    threshold. A floor (e.g. min_lr = 0.15x peak) keeps the tail moving;
+    the reference has no analog because its 125k-step runs converge long
+    before the decay bites.
     """
     def scaled(fn):
         if accum_iter == 1:
@@ -303,8 +313,8 @@ def build_search_optimizer(
 
     sch_param = scaled(make_schedule(cfg_param.lr, sched, total_steps,
                                      steps_per_epoch))
-    sch_arch = scaled(make_schedule(cfg_arch.lr, sched, total_steps,
-                                    steps_per_epoch))
+    sch_arch = scaled(make_schedule(cfg_arch.lr, sched_arch or sched,
+                                    total_steps, steps_per_epoch))
     sch_dec = scaled(make_schedule(cfg_dec.lr, sched, total_steps,
                                    steps_per_epoch))
 

@@ -36,8 +36,11 @@ done
 
 echo "=== DeiT-B hard-val rows ($(date)) ==="
 timeout 7200 python scripts/ladder_hard_eval.py --root "$ROOT" \
-  --val-roots /tmp/imfolder /tmp/imf_hard_n060 /tmp/imf_hard_n090 /tmp/imf_hard_n120 \
-  || true
+  --val-roots /tmp/imfolder \
+  /tmp/imf_hard_n060 /tmp/imf_hard_n060_s17 /tmp/imf_hard_n060_s27 \
+  /tmp/imf_hard_n090 /tmp/imf_hard_n090_s17 /tmp/imf_hard_n090_s27 \
+  /tmp/imf_hard_n120 /tmp/imf_hard_n120_s17 /tmp/imf_hard_n120_s27 \
+  --seed-summary || true
 python scripts/ladder_imnet_summary.py --root "$ROOT" --dense-gflops 17.525 \
     2>&1 | tee "$ROOT/summary.log" || true
 python scripts/prune_timeline.py "$ROOT"/t0.4964/search*.log \

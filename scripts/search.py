@@ -68,6 +68,14 @@ def get_args_parser():
     p.add_argument("--blr_decoder", type=float, default=2.5e-4)
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--min-lr-arch", type=float, default=None,
+                   help="LR floor for the ARCH schedule only (absolute; "
+                        "param/decoder keep --min-lr). Organic tail fix: "
+                        "alpha drift is ~linear in arch LR, so the shared "
+                        "cosine decaying to ~0 freezes the last open "
+                        "modules just above the kill threshold "
+                        "(scripts/alpha_tail.py; BENCH.md round 5); "
+                        "~0.15x the peak arch LR keeps the tail killing")
     p.add_argument("--warmup-epochs", type=int, default=20)
     # augmentation (reference search.py:120-156)
     p.add_argument("--color-jitter", type=float, default=0.4)
@@ -335,11 +343,16 @@ def main(args):
     total_micro = scfg.epochs * steps_per_epoch * scfg.accum_iter
     master_print(f"steps/epoch: {steps_per_epoch} (accum {scfg.accum_iter})")
 
+    sched_arch = None
+    if args.min_lr_arch is not None:
+        import dataclasses as _dc
+        sched_arch = _dc.replace(scfg.schedule, min_lr=args.min_lr_arch)
     tx, _ = build_search_optimizer(
         scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
         total_steps=total_micro,
         steps_per_epoch=steps_per_epoch * scfg.accum_iter,
-        clip_grad=scfg.clip_grad, accum_iter=scfg.accum_iter)
+        clip_grad=scfg.clip_grad, accum_iter=scfg.accum_iter,
+        sched_arch=sched_arch)
     # plateau: constant in-graph schedule, host-side tracker writes its
     # scale into the optimizer state after each eval (lr_sched.py:106-121)
     plateau = PlateauTracker(patience=args.patience_epochs,

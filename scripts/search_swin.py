@@ -36,6 +36,9 @@ def get_args_parser():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--min-lr-arch", type=float, default=None,
+                   help="LR floor for the ARCH schedule only (see "
+                        "scripts/search.py --min-lr-arch)")
     p.add_argument("--warmup-epochs", type=int, default=20)
     p.add_argument("--sched", default="cosine", type=str)
     p.add_argument("--weight-decay", type=float, default=1e-3)
@@ -198,11 +201,15 @@ def main(args):
     master_print(f"swin search: steps/epoch {steps_per_epoch} "
                  f"(accum {scfg.accum_iter})")
 
+    sched_arch = None
+    if args.min_lr_arch is not None:
+        import dataclasses as _dc
+        sched_arch = _dc.replace(scfg.schedule, min_lr=args.min_lr_arch)
     tx, _ = build_search_optimizer(
         scfg.optim_param, scfg.optim_arch, scfg.optim_decoder, scfg.schedule,
         total_steps=total_micro,
         steps_per_epoch=steps_per_epoch * scfg.accum_iter,
-        accum_iter=scfg.accum_iter)
+        accum_iter=scfg.accum_iter, sched_arch=sched_arch)
 
     mesh = make_mesh()
     start_epoch = 0

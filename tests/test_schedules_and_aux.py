@@ -138,6 +138,28 @@ def test_schedule_accum_scaling():
                                                   rel=1e-6)
 
 
+@pytest.mark.smoke
+def test_arch_schedule_floor_override():
+    """sched_arch overrides the ARCH family's schedule only: with a
+    min_lr floor the arch LR must end at the floor while param/decoder
+    still decay to the shared min_lr (the organic convergence-tail fix —
+    scripts/alpha_tail.py, search.py --min-lr-arch)."""
+    import dataclasses
+    fam = OptimFamilyConfig(lr=2e-3)
+    sched = ScheduleConfig(warmup_lr=0.0, min_lr=1e-5, warmup_epochs=0)
+    floor = 3e-4
+    _, s = build_search_optimizer(
+        fam, fam, fam, sched, total_steps=100, steps_per_epoch=10,
+        sched_arch=dataclasses.replace(sched, min_lr=floor))
+    # evaluate past the horizon, where the cosine clamps to its floor
+    assert float(s["arch"](150)) == pytest.approx(floor, rel=1e-3)
+    assert float(s["param"](150)) == pytest.approx(1e-5, rel=1e-3)
+    assert float(s["decoder"](150)) == pytest.approx(1e-5, rel=1e-3)
+    # identical at the peak: the floor only reshapes the tail
+    assert float(s["arch"](0)) == pytest.approx(float(s["param"](0)),
+                                                rel=1e-6)
+
+
 def test_checkpoint_async_serialized_and_atomic(tmp_path):
     """Back-to-back async saves to the SAME dir must not interleave (the
     second joins the first), parts are written tmp+rename, and the final
