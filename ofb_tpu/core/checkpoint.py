@@ -40,10 +40,17 @@ def save_checkpoint(path: str, *, params, alphas=None, arch=None,
                     async_write: bool = False) -> None:
     """Write a checkpoint directory. Only process 0 writes.
 
-    async_write: device->host transfer happens synchronously (consistent
-    snapshot) but serialization + file I/O run on a background thread so
-    the train loop is not blocked (the reference blocks every epoch on
-    torch.save of the whole pickled module, search.py:711-722).
+    async_write: the device->host transfer AND serialization + file I/O
+    all run on a background thread, so the train loop never blocks on the
+    relay readback (~0.5 GB for a DeiT-S running_ckpt = seconds per
+    epoch; the reference blocks every epoch on torch.save of the whole
+    pickled module, search.py:711-722). The snapshot is still consistent:
+    jax arrays are immutable and this codebase never donates its train
+    state (donation stalls the relay — CLAUDE.md), so the references
+    captured here keep pointing at this epoch's values while the loop
+    dispatches the next epoch. copy_to_host_async() is kicked off on the
+    caller so the DMA overlaps compute instead of starting when the
+    writer thread gets scheduled.
     """
     if os.environ.get("OFB_CKPT_BACKEND") == "orbax":
         return save_checkpoint_orbax(
@@ -53,12 +60,23 @@ def save_checkpoint(path: str, *, params, alphas=None, arch=None,
     if not is_main_process():
         return
     os.makedirs(path, exist_ok=True)
-    parts = {name: _tree_to_host(tree) for name, tree in
-             (("params", params), ("alphas", alphas), ("arch", arch),
-              ("opt_state", opt_state), ("ema", ema_params))
-             if tree is not None}
+    raw = {name: tree for name, tree in
+           (("params", params), ("alphas", alphas), ("arch", arch),
+            ("opt_state", opt_state), ("ema", ema_params))
+           if tree is not None}
+    if async_write:
+        for tree in raw.values():
+            jax.tree_util.tree_map(
+                lambda x: x.copy_to_host_async()
+                if hasattr(x, "copy_to_host_async") else None, tree)
+        parts = None
+    else:
+        parts = {name: _tree_to_host(tree) for name, tree in raw.items()}
 
     def write():
+        nonlocal parts
+        if parts is None:
+            parts = {name: _tree_to_host(tree) for name, tree in raw.items()}
         # every part goes tmp -> os.replace so a crash mid-write never
         # leaves meta.json pointing at a truncated msgpack; meta last,
         # so a readable meta implies readable parts.

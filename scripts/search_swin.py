@@ -74,6 +74,12 @@ def get_args_parser():
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--eval-every", default=1, type=int)
+    p.add_argument("--ckpt-every", default=5, type=int,
+                   help="write running_ckpt every N epochs (final epoch "
+                        "always written). The save serializes ~0.3 GB on "
+                        "a background thread; default 5 keeps the GIL "
+                        "mostly free for the dispatch loop at a 5-epoch "
+                        "resume granularity")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint (default "
                         "<output_dir>/running_ckpt)")
@@ -333,7 +339,8 @@ def main(args):
                 steps_per_epoch=steps_per_epoch, scfg=scfg, space=space,
                 rng=erng, finish_search=finish_search)
 
-        if scfg.output_dir:
+        if scfg.output_dir and (epoch % max(args.ckpt_every, 1) == 0
+                                or epoch == scfg.epochs - 1 or pruned):
             ckpt.save_checkpoint(
                 os.path.join(scfg.output_dir, "running_ckpt"),
                 params=state.params, alphas=state.alphas, arch=state.arch,
