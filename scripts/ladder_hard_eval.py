@@ -134,6 +134,9 @@ def main():
     # fully-trained models, with the best-ckpt rows as the early-stop view.
     targets = []
     if args.family == "swin":
+        dense_dir = os.path.join(args.root, "dense_ft", "model_finetuned")
+        if os.path.exists(os.path.join(dense_dir, "meta.json")):
+            targets.append(("dense/ft", "best", dense_dir))
         for t in sorted(glob.glob(os.path.join(args.root, "t*"))):
             name = os.path.basename(t)
             for kind, sub in (("ft", "model_finetuned"),
@@ -178,7 +181,14 @@ def main():
 
     rows = []
     for name, kind, best in targets:
-        params, ema, cfg, meta = load_target(best)
+        try:
+            params, ema, cfg, meta = load_target(best)
+        except SystemExit as e:
+            # a model whose big weight blobs did not survive (gitignored
+            # across round boundaries) or a placeholder meta must not
+            # abort the whole sweep — report and keep evaluating the rest
+            print(f"  SKIP {name}: {e}", flush=True)
+            continue
         step = get_step(cfg)
         accs = eval_params_on(params, cfg, step, args.val_roots,
                               args.batch_size)
