@@ -24,7 +24,18 @@ ROOT=runs/ladder_organic_b
 
 echo "=== DeiT-B organic rung: target 8.7 GFLOPs ($(date)) ==="
 for attempt in 1 2 3; do
-  if MODEL=deit_base_patch16_224_mim DENSE_GFLOPS=17.525 BATCH=64 \
+  # batch 64 is the benched DeiT-B step config, but it was benched WITHOUT
+  # the 3.85 GiB --cache-device staging set resident; if HBM overflows
+  # (the Swin-ladder failure mode of round 4), halve the batch — lr_arch
+  # scales by eff_batch/256 and steps/epoch by its inverse, so the
+  # drift-per-epoch argument in the header is batch-invariant.
+  B=64
+  if grep -qs "RESOURCE_EXHAUSTED\|[Oo]ut of memory" \
+      "$ROOT/t0.4964/search1.log"; then
+    B=32
+    echo "--- HBM OOM detected at batch 64; falling back to batch $B"
+  fi
+  if MODEL=deit_base_patch16_224_mim DENSE_GFLOPS=17.525 BATCH=$B \
      TARGETS="0.4964" FUSE_POINT=100 FT_FROM=running_ckpt \
      SEARCH_EXTRA="--model-ema --ckpt-every 10 --eval-every 5" \
      DATA=/tmp/imfolder bash scripts/ladder_imnet.sh "$ROOT"; then
