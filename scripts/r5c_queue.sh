@@ -105,11 +105,28 @@ if [ ! -f "$SW/hard_eval_seeds.json" ] && [ "$(left)" -gt 300 ]; then
       2>&1 | tee "$SW/hard_eval_seeds.log" || true
 fi
 
-# ---- 3: DeiT-B E-analog (resumable; internal retries + seeded hard-eval)
+# ---- 3: DeiT-B E-analog (resumable; internal retries + seeded hard-eval).
+#          Reserve ~35 min behind it: if the training outruns the clock,
+#          the timeout must not ALSO kill the rung's hard-eval/summary —
+#          those re-run below, cheap and guarded, so a trained-but-
+#          unevaluated rung still gets its accuracy rows.
 if soft_ok && [ ! -f runs/ladder_organic_b/summary.log ]; then
   echo "=== r5c stage 3: DeiT-B E-analog ($(date)) ==="
-  timeout "$(cap 99999)" bash scripts/r4d_queue.sh \
+  C_CAP=$(( $(left) - 2100 )); [ "$C_CAP" -lt 120 ] && C_CAP=120
+  timeout "$C_CAP" bash scripts/r4d_queue.sh \
       2>&1 | tee -a /tmp/r4d_queue.log || true
+fi
+BROOT=runs/ladder_organic_b
+if [ ! -f "$BROOT/summary.log" ] \
+   && [ -f "$BROOT/t0.4964/ft/best/meta.json" ] && [ "$(left)" -gt 420 ]; then
+  echo "=== r5c stage 3b: DeiT-B eval/summary catch-up ($(date)) ==="
+  timeout "$(cap 1200)" python scripts/ladder_hard_eval.py --root "$BROOT" \
+      --val-roots $SEED_ROOTS --seed-summary || true
+  python scripts/ladder_imnet_summary.py --root "$BROOT" \
+      --dense-gflops 17.525 2>&1 | tee "$BROOT/summary.log" || true
+  python scripts/prune_timeline.py "$BROOT"/t0.4964/search*.log \
+      --log-txt "$BROOT/t0.4964/log.txt" \
+      --json-out "$BROOT/t0.4964/prune_timeline.json" || true
 fi
 
 # ---- 4: 1x arch-LR organic run until the deadline (resumable)
