@@ -66,6 +66,19 @@ def rung_status(tdir: str) -> dict:
                 and smeta["epoch"] >= total - 1)
         st["search_done"] = bool(done)
 
+    # Swin-ladder layout: export/finetune artifacts live at the rung root
+    # (model_exported/, model_finetuned/) rather than under ft/.
+    emeta = _meta(os.path.join(tdir, "model_exported"))
+    if emeta is not None:
+        st["stage"] = "exported"
+        st["search_done"] = True
+        st["exported_acc1"] = emeta.get("acc1")
+    ftmeta = _meta(os.path.join(tdir, "model_finetuned"))
+    if ftmeta is not None:
+        st["stage"] = "complete"
+        st["search_done"] = True
+        st["finetuned_acc1"] = ftmeta.get("acc1")
+
     fmeta = _meta(os.path.join(tdir, "ft", "running_ckpt"))
     fbest = _meta(os.path.join(tdir, "ft", "best"))
     if fmeta is not None or fbest is not None:
@@ -107,6 +120,10 @@ def main():
             st["resumable_from"] = os.path.join(dense, "running_ckpt")
         if fbest:
             st["ft_best_acc1"] = fbest.get("acc1")
+        dmeta = _meta(os.path.join(dense, "model_finetuned"))
+        if dmeta:
+            st["stage"] = "complete"
+            st["finetuned_acc1"] = dmeta.get("acc1")
         statuses.append(st)
 
     root_status = {"rungs": statuses,
